@@ -3,14 +3,34 @@
 The reference (tiny-ram-halo2) runs its test suite single-process on CPU; we
 additionally validate multi-chip sharding by forcing 8 virtual XLA host
 devices, mirroring how the driver dry-runs `__graft_entry__.dryrun_multichip`.
-This must happen before `import jax` anywhere in the test process.
+
+NOTE: this box's sitecustomize force-registers the experimental `axon` TPU
+platform and sets jax_platforms="axon,cpu" in every Python process, which
+overrides the JAX_PLATFORMS env var.  We must override it back *after*
+importing jax (but before any backend is initialized) so tests never touch
+the single shared TPU chip.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the limb-field kernels compose into deep
+# programs (NTT stages, Fermat-inversion loops) whose XLA compiles dominate
+# test wall-clock; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tinyram_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; axon TPU platform leaked through: "
+    f"{jax.default_backend()}"
+)

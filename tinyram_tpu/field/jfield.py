@@ -10,7 +10,11 @@ Design (TPU-first, not a port):
     16-bit halves and accumulated into 32 columns; column magnitudes stay
     < 2^23, far inside uint32, so carries are propagated only twice per
     multiply.
-  * Inversion is Fermat (x^(p-2)) via a `lax.fori_loop` square-and-multiply —
+  * Trace compactness is a first-class constraint: carry/borrow chains are
+    `lax.scan`s and limb accumulation uses static pads, keeping one modmul
+    at ~150 HLO ops so deep compositions (NTT stages, Fermat inversion,
+    constraint evaluation) compile quickly.
+  * Inversion is Fermat (x^(p-2)) via a square-and-multiply `fori_loop` —
     ~510 batched multiplies but fully parallel across the batch, unlike the
     serial Montgomery-batch-inversion trick which is hostile to SIMD.
   * No data-dependent shapes anywhere; everything jits and vmaps.
@@ -21,8 +25,6 @@ replacement built from the primes up.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +43,17 @@ from .params import (
 
 U32 = jnp.uint32
 _MASK = np.uint32(LIMB_MASK)
+_SHIFT = np.uint32(LIMB_BITS)
 
 
 def _const_limbs(x: int) -> np.ndarray:
     return np.array(int_to_limbs(x), dtype=np.uint32)
+
+
+def _pad_rows(x: jnp.ndarray, lo: int, total: int) -> jnp.ndarray:
+    """Zero-pad along axis 0 so ``x`` occupies rows [lo, lo+len) of ``total``."""
+    cfg = [(lo, total - lo - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg)
 
 
 class Field:
@@ -52,7 +61,7 @@ class Field:
 
     All public methods take/return uint32 arrays shaped ``(16, *batch)`` in
     Montgomery form unless stated otherwise.  Methods are plain jnp code so
-    they can be called from inside jit/shard_map/pallas-adjacent code.
+    they can be called from inside jit/shard_map code.
     """
 
     def __init__(self, params: FieldParams):
@@ -60,126 +69,111 @@ class Field:
         self.modulus = params.modulus
         self._p = _const_limbs(params.modulus)
         self._n0inv = np.uint32(params.n0_inv)
-        self._r = _const_limbs(params.r_mod_p)      # 1 in Montgomery form
-        self._r2 = _const_limbs(params.r2_mod_p)
-        self._inv_exp_bits = np.array(
-            [int(b) for b in bin(params.modulus - 2)[2:]], dtype=np.int32
-        )
+        self._r = _const_limbs(params.r_mod_p)  # 1 in Montgomery form
 
     # ---------------------------------------------------------------- shapes
-
-    @staticmethod
-    def _bc(c: np.ndarray, like: jnp.ndarray) -> jnp.ndarray:
-        """Broadcast a (16,) constant against a (16, *batch) operand."""
-        return jnp.asarray(c, U32).reshape((N_LIMBS,) + (1,) * (like.ndim - 1))
 
     def zeros(self, batch_shape=()) -> jnp.ndarray:
         return jnp.zeros((N_LIMBS,) + tuple(batch_shape), U32)
 
     def ones(self, batch_shape=()) -> jnp.ndarray:
         """Montgomery one, broadcast to a batch."""
-        return jnp.broadcast_to(
-            self._bc(self._r, jnp.zeros((N_LIMBS,) + tuple(batch_shape))),
-            (N_LIMBS,) + tuple(batch_shape),
-        ).astype(U32)
+        one = jnp.asarray(self._r).reshape((N_LIMBS,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(one, (N_LIMBS,) + tuple(batch_shape))
+
+    def const(self, value: int, batch_ndim: int = 0) -> jnp.ndarray:
+        """Host int -> Montgomery constant shaped (16, 1, 1, ...)."""
+        x = (value % self.modulus) * self.params.r_mod_p % self.modulus
+        return jnp.asarray(_const_limbs(x)).reshape(
+            (N_LIMBS,) + (1,) * batch_ndim
+        )
 
     # ------------------------------------------------------- carry machinery
 
     @staticmethod
-    def _carry16(cols):
-        """Propagate carries over exactly N_LIMBS columns; returns (limbs, carry).
+    def _carry(cols: jnp.ndarray) -> jnp.ndarray:
+        """Propagate carries along axis 0 (values < 2^31); drops final carry."""
 
-        ``cols`` is a list of N_LIMBS arrays with values < 2^31.
-        """
-        out = []
-        c = jnp.zeros_like(cols[0])
-        for i in range(N_LIMBS):
-            v = cols[i] + c
-            out.append(v & _MASK)
-            c = v >> LIMB_BITS
-        return out, c
+        def step(c, col):
+            v = col + c
+            return v >> _SHIFT, v & _MASK
 
-    def _sub_limbs(self, a_cols, b_cols):
+        _, out = jax.lax.scan(step, jnp.zeros_like(cols[0]), cols)
+        return out
+
+    @staticmethod
+    def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
         """(a - b) limbwise with borrow chain; returns (limbs, borrow∈{0,1})."""
-        out = []
-        borrow = jnp.zeros_like(a_cols[0])
         base = np.uint32(1 << LIMB_BITS)
-        for i in range(N_LIMBS):
-            t = a_cols[i] + (base - b_cols[i]) - borrow
-            out.append(t & _MASK)
-            borrow = np.uint32(1) - (t >> LIMB_BITS)
+
+        def step(borrow, ab):
+            ai, bi = ab
+            t = ai + (base - bi) - borrow
+            return np.uint32(1) - (t >> _SHIFT), t & _MASK
+
+        b = jnp.broadcast_to(b, a.shape).astype(U32)
+        borrow, out = jax.lax.scan(
+            step, jnp.zeros_like(a[0]), (a, b)
+        )
         return out, borrow
 
-    def _cond_sub_p(self, cols):
+    def _cond_sub_p(self, limbs: jnp.ndarray) -> jnp.ndarray:
         """Reduce a value known to be < 2p into [0, p)."""
-        p = [np.uint32(v) for v in self._p]
-        diff, borrow = self._sub_limbs(cols, p)
-        keep = borrow.astype(bool)  # borrow==1 → value < p → keep original
-        return [jnp.where(keep, cols[i], diff[i]) for i in range(N_LIMBS)]
-
-    @staticmethod
-    def _unstack(a: jnp.ndarray):
-        return [a[i] for i in range(N_LIMBS)]
-
-    @staticmethod
-    def _stack(cols) -> jnp.ndarray:
-        return jnp.stack(cols, axis=0)
+        p = jnp.asarray(self._p).reshape((N_LIMBS,) + (1,) * (limbs.ndim - 1))
+        diff, borrow = self._sub_limbs(limbs, p)
+        return jnp.where(borrow.astype(bool)[None], limbs, diff)
 
     # ------------------------------------------------------------ arithmetic
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        s = a + b  # limbs < 2^17
-        cols, carry = self._carry16(self._unstack(s))
-        del carry  # a,b < p < 2^255 so the 2^256 carry is always 0
-        return self._stack(self._cond_sub_p(cols))
+        return self._cond_sub_p(self._carry(a + b))
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        diff, borrow = self._sub_limbs(self._unstack(a), self._unstack(b))
-        pb = jnp.asarray(self._p, U32)
-        add_p = [
-            diff[i] + borrow * jnp.broadcast_to(
-                pb[i].reshape((1,) * borrow.ndim), borrow.shape
-            )
-            for i in range(N_LIMBS)
-        ]
-        cols, _ = self._carry16(add_p)
-        return self._stack(cols)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        diff, borrow = self._sub_limbs(a, b)
+        p = jnp.asarray(self._p).reshape((N_LIMBS,) + (1,) * (diff.ndim - 1))
+        return self._carry(diff + borrow[None] * p)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.sub(self.zeros(a.shape[1:]), a)
 
+    def double(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.add(a, a)
+
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product aR * bR -> abR (mod p)."""
-        al = self._unstack(a)
-        bl = self._unstack(b)
-        zero = jnp.zeros(jnp.broadcast_shapes(al[0].shape, bl[0].shape), U32)
-        cols = [zero] * (2 * N_LIMBS + 1)
-        # full schoolbook product with lazy 16-bit split accumulation
+        total = 2 * N_LIMBS  # 32 accumulation columns
+        prods = a[:, None] * b[None, :]  # (16, 16, *batch), wrap-free in u32
+        lo = prods & _MASK
+        hi = prods >> _SHIFT
+        batch = prods.shape[2:]
+        acc = jnp.zeros((total,) + batch, U32)
         for i in range(N_LIMBS):
-            ai = al[i]
-            for j in range(N_LIMBS):
-                prod = ai * bl[j]  # uint32 wrap-free: < 2^32
-                cols[i + j] = cols[i + j] + (prod & _MASK)
-                cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+            acc = (
+                acc
+                + _pad_rows(lo[i], i, total)
+                + _pad_rows(hi[i], i + 1, total)
+            )
         # interleaved Montgomery reduction
-        nl = [np.uint32(v) for v in self._p]
+        nl = jnp.asarray(self._p).reshape((N_LIMBS,) + (1,) * len(batch))
         for i in range(N_LIMBS):
-            m = (cols[i] * self._n0inv) & _MASK
-            for j in range(N_LIMBS):
-                prod = m * nl[j]
-                cols[i + j] = cols[i + j] + (prod & _MASK)
-                cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-            # cols[i] is now ≡ 0 mod 2^16; push its carry up and drop it
-            cols[i + 1] = cols[i + 1] + (cols[i] >> LIMB_BITS)
-        hi = cols[N_LIMBS : 2 * N_LIMBS]
-        out, carry = self._carry16(hi)
-        del carry  # result < 2p < 2^256 ⇒ no carry out
-        return self._stack(self._cond_sub_p(out))
+            m = (acc[i] * self._n0inv) & _MASK
+            prod = m[None] * nl  # (16, *batch)
+            acc = (
+                acc
+                + _pad_rows(prod & _MASK, i, total)
+                + _pad_rows(prod >> _SHIFT, i + 1, total)
+            )
+            # acc[i] ≡ 0 mod 2^16 now; push its carry into acc[i+1]
+            acc = acc.at[i + 1].add(acc[i] >> _SHIFT)
+        out = self._carry(acc[N_LIMBS:])
+        return self._cond_sub_p(out)
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
 
-    # ------------------------------------------------------------ exponentiation
+    # ---------------------------------------------------------------- powers
 
     def pow_const(self, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
         """a^exponent for a host-constant exponent (square & multiply loop)."""
@@ -192,7 +186,10 @@ class Field:
             take = (bits_d[i] == 1).reshape((1,) * acc.ndim)
             return jnp.where(take, with_mul, acc)
 
-        acc0 = self.ones(a.shape[1:])
+        acc0 = jnp.broadcast_to(
+            jnp.asarray(self._r).reshape((N_LIMBS,) + (1,) * (a.ndim - 1)),
+            a.shape,
+        ).astype(U32)
         return jax.lax.fori_loop(0, len(bits), body, acc0)
 
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -214,7 +211,10 @@ class Field:
     # ------------------------------------------------------------ conversion
 
     def to_mont(self, a: jnp.ndarray) -> jnp.ndarray:
-        return self.mul(a, self._bc(self._r2, a))
+        r2 = jnp.asarray(_const_limbs(self.params.r2_mod_p)).reshape(
+            (N_LIMBS,) + (1,) * (a.ndim - 1)
+        )
+        return self.mul(a, r2)
 
     def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
         one = jnp.zeros_like(a).at[0].set(1)
@@ -224,11 +224,15 @@ class Field:
 
     def encode(self, ints, to_mont: bool = True) -> jnp.ndarray:
         """Python ints -> (16, N) Montgomery device array."""
+        factor = self.params.r_mod_p if to_mont else 1
         arr = np.asarray(
-            [int_to_limbs(int(x) % self.modulus) for x in ints], dtype=np.uint32
+            [
+                int_to_limbs(int(x) * factor % self.modulus)
+                for x in ints
+            ],
+            dtype=np.uint32,
         ).T  # (16, N)
-        out = jnp.asarray(arr)
-        return self.to_mont(out) if to_mont else out
+        return jnp.asarray(arr)
 
     def encode_scalar(self, x: int, to_mont: bool = True) -> jnp.ndarray:
         return self.encode([x], to_mont=to_mont)[:, 0]

@@ -1,0 +1,128 @@
+"""Evaluation domains for the PLONKish prover.
+
+TPU-native replacement for halo2's `EvaluationDomain` (used by keygen and
+`create_proof` in the reference's unvendored fork — SURVEY.md §2 L0).
+
+A `Domain` owns the size-n subgroup H (circuit rows) and the extended coset
+g·H_ext used for quotient evaluation.  The coset generator is the field's
+multiplicative generator, which lies in no 2-power subgroup, so Z_H never
+vanishes on the coset.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.jfield import FP, Field
+from ..field.params import N_LIMBS
+from .ntt import coeff_scale, ntt, omega_for, powers, tree_sum, _mont_table
+
+
+class Domain:
+    def __init__(self, field: Field, k: int, extended_k: int):
+        assert extended_k >= k
+        self.field = field
+        self.k = k
+        self.n = 1 << k
+        self.extended_k = extended_k
+        self.n_ext = 1 << extended_k
+        p = field.modulus
+        self.omega = omega_for(field, k)
+        self.omega_inv = pow(self.omega, p - 2, p)
+        self.omega_ext = omega_for(field, extended_k)
+        self.g_coset = field.params.generator
+        self.g_coset_inv = pow(self.g_coset, p - 2, p)
+
+    # ------------------------------------------------------------ transforms
+
+    def lagrange_to_coeff(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Evaluations on H (natural ω^i order) -> coefficients."""
+        return ntt(self.field, a, inverse=True)
+
+    def coeff_to_lagrange(self, a: jnp.ndarray) -> jnp.ndarray:
+        return ntt(self.field, a, inverse=False)
+
+    def coeff_to_extended(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Coefficients (len n or less) -> evaluations on the coset g·H_ext."""
+        pad = self.n_ext - a.shape[-1]
+        if pad:
+            a = jnp.concatenate(
+                [a, self.field.zeros(a.shape[1:-1] + (pad,))], axis=-1
+            )
+        a = coeff_scale(self.field, a, self.g_coset)
+        return ntt(self.field, a, inverse=False)
+
+    def extended_to_coeff(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Evaluations on g·H_ext -> coefficients (length n_ext)."""
+        a = ntt(self.field, a, inverse=True)
+        return coeff_scale(self.field, a, self.g_coset_inv)
+
+    # ---------------------------------------------------------- vanishing poly
+
+    def divide_by_vanishing(self, evals_ext: jnp.ndarray) -> jnp.ndarray:
+        """Divide coset-extended evaluations by Z_H(X) = X^n - 1.
+
+        Z_H(g·ω_ext^i) = g^n·ω_ext^{n·i} - 1 cycles with period
+        n_ext/n, so only that many inverses are needed (computed host-side).
+        """
+        p = self.field.modulus
+        period = self.n_ext // self.n
+        gn = pow(self.g_coset, self.n, p)
+        wn = pow(self.omega_ext, self.n, p)  # order `period`
+        vals = []
+        cur = gn
+        for _ in range(period):
+            vals.append(pow(cur - 1, p - 2, p))
+            cur = (cur * wn) % p
+        tbl = _mont_table(self.field, vals)  # (16, period)
+        reps = self.n_ext // period
+        full = jnp.tile(tbl, (1, reps))
+        # evals index i has Z_H^{-1}[i mod period]; tiling gives period-repeat
+        # pattern [v0..v_{p-1}, v0..], which matches i mod period ordering.
+        shape = (N_LIMBS,) + (1,) * (evals_ext.ndim - 2) + (self.n_ext,)
+        return self.field.mul(evals_ext, full.reshape(shape))
+
+    # ---------------------------------------------------------- host helpers
+
+    def omega_powers(self) -> jnp.ndarray:
+        """Device table of [1, ω, …, ω^{n-1}] (Montgomery)."""
+        return powers(self.field, self.omega, self.n)
+
+    def l0_evals_ext(self) -> jnp.ndarray:
+        """Coset-extended evaluations of the first Lagrange basis poly l_0.
+
+        l_0(X) = (X^n - 1) / (n (X - 1)).
+        """
+        p = self.field.modulus
+        n_inv = pow(self.n, p - 2, p)
+        vals = []
+        x = self.g_coset
+        for i in range(self.n_ext):
+            num = (pow(x, self.n, p) - 1) % p
+            den = (self.n * (x - 1)) % p
+            vals.append(num * pow(den, p - 2, p) % p)
+            x = (x * self.omega_ext) % p
+        return _mont_table(self.field, vals)
+
+    def lagrange_evals_host(self, x: int, indices) -> list[int]:
+        """l_i(x) for a host point x (verifier side), exact Python ints."""
+        p = self.field.modulus
+        zx = (pow(x, self.n, p) - 1) % p
+        out = []
+        n_inv = pow(self.n, p - 2, p)
+        for i in indices:
+            wi = pow(self.omega, i, p)
+            den = (x - wi) % p
+            li = zx * wi % p * n_inv % p * pow(den, p - 2, p) % p
+            out.append(li)
+        return out
+
+
+@lru_cache(maxsize=None)
+def domain_cache(field_name: str, k: int, extended_k: int) -> Domain:
+    from ..field.jfield import FP, FQ
+
+    return Domain(FP if field_name == "Fp" else FQ, k, extended_k)
