@@ -70,6 +70,19 @@ class Field:
         self._p = _const_limbs(params.modulus)
         self._n0inv = np.uint32(params.n0_inv)
         self._r = _const_limbs(params.r_mod_p)  # 1 in Montgomery form
+        # jit the hot entry points so eager (non-jitted) callers don't pay
+        # per-op dispatch for the ~150-op limb kernels; inside an enclosing
+        # jit these wrappers are inlined and cost nothing.
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.neg = jax.jit(self.neg)
+        self.double = jax.jit(self.double)
+        self.mul = jax.jit(self.mul)
+        self.square = jax.jit(self.square)
+        self.inv = jax.jit(self.inv)
+        self.to_mont = jax.jit(self.to_mont)
+        self.from_mont = jax.jit(self.from_mont)
+        self.pow_const = jax.jit(self.pow_const, static_argnums=1)
 
     # ---------------------------------------------------------------- shapes
 

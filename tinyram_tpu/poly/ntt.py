@@ -14,8 +14,9 @@ by `create_proof`/keygen — SURVEY.md §3.3).  Design notes:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,14 +33,18 @@ def _bitrev_indices(log_n: int) -> np.ndarray:
     return rev
 
 
-def _mont_table(field: Field, values: list[int]) -> jnp.ndarray:
-    """Python ints -> (16, len) Montgomery device array (host conversion)."""
+def _mont_table(field: Field, values: list[int]) -> np.ndarray:
+    """Python ints -> (16, len) Montgomery limb table.
+
+    Returns a **host** numpy array so results can be lru_cached safely and
+    turned into constants inside jitted callers (a cached device array
+    created during tracing would leak tracers).
+    """
     r = field.params.r_mod_p
     p = field.modulus
-    arr = np.array(
+    return np.array(
         [int_to_limbs((v * r) % p) for v in values], dtype=np.uint32
     ).T
-    return jnp.asarray(arr)
 
 
 @lru_cache(maxsize=None)
@@ -59,7 +64,7 @@ def _stage_twiddles(field_name: str, log_n: int, inverse: bool):
         w = pow(omega, 1 << (log_n - 1 - s), p)  # primitive 2m-th root
         ws = [pow(w, j, p) for j in range(m)]
         tables.append(_mont_table(field, ws))
-    rev = jnp.asarray(_bitrev_indices(log_n))
+    rev = _bitrev_indices(log_n)
     return rev, tuple(tables)
 
 
@@ -69,6 +74,7 @@ def omega_for(field: Field, log_n: int, inverse: bool = False) -> int:
     return pow(w, p - 2, p) if inverse else w
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def ntt(field: Field, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT of ``a`` (16, ..., n) along the last axis.
 
@@ -119,6 +125,7 @@ def powers(field: Field, base: int, n: int) -> jnp.ndarray:
     return _mont_table(field, vals)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def powers_device(field: Field, x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Device-computed powers [1, x, …, x^{n-1}] for a device scalar x (16,).
 
@@ -142,6 +149,7 @@ def coeff_scale(field: Field, a: jnp.ndarray, g: int) -> jnp.ndarray:
     return field.mul(a, tbl.reshape((N_LIMBS,) + (1,) * (a.ndim - 2) + (n,)))
 
 
+@partial(jax.jit, static_argnums=0)
 def eval_poly(field: Field, coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Evaluate a (16, n) coefficient vector at device scalar x (16,)."""
     n = coeffs.shape[-1]
@@ -151,6 +159,7 @@ def eval_poly(field: Field, coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return tree_sum(field, prods)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def tree_sum(field: Field, a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Field sum along an axis via log-depth pairwise reduction."""
     a = jnp.moveaxis(a, axis, -1)
