@@ -1,0 +1,137 @@
+"""Mock prover: constraint evaluation without cryptography.
+
+Replaces halo2's `MockProver::run` + `assert_satisfied` (the workhorse of
+the reference test suite — SURVEY.md §3.2).  Evaluates every gate on the
+full witness arrays on-device in one vectorized pass per gate, checks
+lookups as multisets, and copy constraints directly.  Reports per-gate
+per-row failures by name, like the reference relies on for debugging
+(lib.rs:16-30 `leak_once` exists only to give gates static names).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.jfield import FP
+from .circuit import Assignment, ConstraintSystem
+from .expr import evaluate
+
+
+@dataclass
+class Failure:
+    kind: str  # "gate" | "lookup" | "copy"
+    name: str
+    detail: str
+
+    def __str__(self):
+        return f"[{self.kind}] {self.name}: {self.detail}"
+
+
+def _rolled(arr: jnp.ndarray, rotation: int) -> jnp.ndarray:
+    if rotation == 0:
+        return arr
+    # rotation +1 means "next row": value at row i is arr[i+1 mod n]
+    return jnp.roll(arr, -rotation, axis=-1)
+
+
+def _eval_expr_lagrange(expr, asg: Assignment, cache: dict):
+    n = asg.n
+
+    def var(kind, index, rotation):
+        base = getattr(asg, kind)[index]
+        assert base is not None, f"unassigned {kind}[{index}]"
+        return _rolled(base, rotation)
+
+    def const(v):
+        c = FP.const(v, 1)
+        return jnp.broadcast_to(c, (16, n))
+
+    return evaluate(
+        expr,
+        var=var,
+        const=const,
+        add=FP.add,
+        mul=FP.mul,
+        neg=FP.neg,
+        _cache=cache,
+    )
+
+
+def eval_gates_lagrange(cs: ConstraintSystem, asg: Assignment):
+    """Evaluate each gate poly over all rows; yields (gate, poly_idx, evals)."""
+    for g in cs.gates:
+        cache: dict = {}
+        for pi, poly in enumerate(g.polys):
+            yield g, pi, _eval_expr_lagrange(poly, asg, cache)
+
+
+class MockProver:
+    def __init__(self, cs: ConstraintSystem, asg: Assignment):
+        self.cs = cs
+        self.asg = asg
+
+    def verify(self) -> list[Failure]:
+        failures: list[Failure] = []
+        asg = self.asg
+        n = asg.n
+        asg.finalize()
+
+        # gates
+        for g, pi, evals in eval_gates_lagrange(self.cs, asg):
+            nz = np.asarray(jnp.logical_not(FP.is_zero(evals)))
+            if nz.any():
+                rows = np.nonzero(nz)[0][:8].tolist()
+                failures.append(
+                    Failure(
+                        "gate",
+                        f"{g.name}#{pi}",
+                        f"nonzero at rows {rows}"
+                        + ("…" if nz.sum() > 8 else ""),
+                    )
+                )
+
+        # lookups (multiset check on host ints)
+        for lk in self.cs.lookups:
+            cache: dict = {}
+            in_vals = [
+                FP.decode(_eval_expr_lagrange(e, asg, cache)) for e in lk.inputs
+            ]
+            tb_vals = [
+                FP.decode(_eval_expr_lagrange(e, asg, cache)) for e in lk.tables
+            ]
+            table = set(zip(*tb_vals)) if tb_vals else set()
+            for row in range(n):
+                tup = tuple(col[row] for col in in_vals)
+                if tup not in table:
+                    failures.append(
+                        Failure(
+                            "lookup",
+                            lk.name,
+                            f"input row {row} = {tup} not in table",
+                        )
+                    )
+                    break
+
+        # copy constraints
+        for (a, ar), (b, br) in self.cs.copies:
+            va = FP.decode(asg.get(a)[:, ar : ar + 1])[0]
+            vb = FP.decode(asg.get(b)[:, br : br + 1])[0]
+            if va != vb:
+                failures.append(
+                    Failure(
+                        "copy",
+                        f"{a.kind}[{a.index}]@{ar} = {b.kind}[{b.index}]@{br}",
+                        f"{va} != {vb}",
+                    )
+                )
+
+        return failures
+
+    def assert_satisfied(self) -> None:
+        failures = self.verify()
+        if failures:
+            msg = "\n".join(str(f) for f in failures[:20])
+            raise AssertionError(f"mock prover found failures:\n{msg}")

@@ -1,0 +1,360 @@
+"""PLONKish prover: the TPU-native `create_proof`.
+
+Mirrors the responsibilities of the fork's `create_proof`
+(/root/reference/src/test_utils.rs:40-49 and SURVEY.md §3.3) with an
+array-first design: every phase is batched device work (NTT, MSM, batched
+Fermat inversion, `associative_scan` grand products), with the transcript
+and small glue on the host.
+
+Protocol order is defined in protocol.py; the verifier mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.jfield import FP
+from ..ipa import SRS, commit
+from ..ipa.ipa import open_poly
+from ..poly.domain import Domain
+from ..poly.ntt import _mont_table, eval_poly, powers, tree_sum
+from ..transcript import TranscriptWriter
+from .circuit import Assignment, ConstraintSystem
+from .expr import ADVICE, FIXED, INSTANCE, evaluate
+from .keygen import ProvingKey, delta
+from .protocol import eval_schedule, multiopen_point_order, queried_column_rotations
+
+P = FP.modulus
+
+
+# --------------------------------------------------------------------- utils
+
+
+@jax.jit
+def _prefix_prod_exclusive(arr: jnp.ndarray) -> jnp.ndarray:
+    """[1, a0, a0·a1, …] along the last axis (Montgomery)."""
+    inc = jax.lax.associative_scan(FP.mul, arr, axis=-1)
+    return jnp.concatenate([FP.ones((1,)), inc[:, :-1]], axis=-1)
+
+
+@jax.jit
+def _grand_product(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    """z[i] = Π_{t<i} num[t]/den[t]  (z[0] = 1)."""
+    return FP.mul(_prefix_prod_exclusive(num), FP.inv(_prefix_prod_exclusive(den)))
+
+
+def _scalar(v: int) -> jnp.ndarray:
+    """Host int -> (16, 1) Montgomery device constant."""
+    return FP.const(v, 1)
+
+
+def _rolled(arr: jnp.ndarray, rotation: int, scale: int = 1) -> jnp.ndarray:
+    if rotation == 0:
+        return arr
+    return jnp.roll(arr, -rotation * scale, axis=-1)
+
+
+def _eval_exprs_on(
+    exprs, get_col, n: int, scale: int = 1, cache: dict | None = None
+):
+    """Evaluate expression list over device arrays with rotation rolls."""
+    cache = {} if cache is None else cache
+
+    def var(kind, index, rotation):
+        return _rolled(get_col(kind, index), rotation, scale)
+
+    def const(v):
+        return jnp.broadcast_to(FP.const(v, 1), (16, n))
+
+    return [
+        evaluate(
+            e, var=var, const=const, add=FP.add, mul=FP.mul, neg=FP.neg, _cache=cache
+        )
+        for e in exprs
+    ]
+
+
+def _compress(vals: list[jnp.ndarray], theta: int) -> jnp.ndarray:
+    """Σ θ^i v_i (Horner, scalar θ)."""
+    th = _scalar(theta)
+    acc = vals[-1]
+    for v in reversed(vals[:-1]):
+        acc = FP.add(FP.mul(acc, th), v)
+    return acc
+
+
+def permute_lookup(a_vals: list[int], s_vals: list[int]):
+    """halo2-0.2-style permuted (A', S') for the plookup product argument."""
+    n = len(a_vals)
+    a_sorted = sorted(a_vals)
+    s_count = Counter(s_vals)
+    s_prime: list[int | None] = [None] * n
+    for i, v in enumerate(a_sorted):
+        if i == 0 or v != a_sorted[i - 1]:
+            if s_count[v] == 0:
+                raise ValueError(f"lookup input {v} not present in table")
+            s_count[v] -= 1
+            s_prime[i] = v
+    leftovers = iter(s_count.elements())
+    for i in range(n):
+        if s_prime[i] is None:
+            s_prime[i] = next(leftovers)
+    return a_sorted, [int(v) for v in s_prime]
+
+
+# -------------------------------------------------------------------- prover
+
+
+def create_proof(
+    srs: SRS, pk: ProvingKey, asg: Assignment, tw: TranscriptWriter | None = None
+) -> bytes:
+    cs = pk.vk.cs
+    dom = pk.domain
+    n = dom.n
+    scale = dom.n_ext // n
+    asg.finalize()
+    tw = tw or TranscriptWriter()
+
+    lag: dict[tuple, jnp.ndarray] = {}
+    coeff: dict[tuple, jnp.ndarray] = {}
+
+    for i in range(cs.num_fixed):
+        lag[("fixed", i)] = pk.fixed_lag[i]
+        coeff[("fixed", i)] = pk.fixed_coeff[i]
+    for j in range(len(pk.sigma_lag)):
+        lag[("sigma", j)] = pk.sigma_lag[j]
+        coeff[("sigma", j)] = pk.sigma_coeff[j]
+    for i in range(cs.num_instance):
+        lag[("instance", i)] = asg.instance[i]
+        coeff[("instance", i)] = dom.lagrange_to_coeff(asg.instance[i])
+    for i in range(cs.num_advice):
+        lag[("advice", i)] = asg.advice[i]
+        coeff[("advice", i)] = dom.lagrange_to_coeff(asg.advice[i])
+
+    # 1. bind vk + instances + advice
+    pk.vk.absorb_into(tw)
+    for i in range(cs.num_instance):
+        tw.common_point(commit(srs, coeff[("instance", i)]))
+    for i in range(cs.num_advice):
+        tw.write_point(commit(srs, coeff[("advice", i)]))
+
+    # 2. lookups: compress, permute, commit A'/S'
+    theta = tw.challenge()
+
+    def col_lag(kind, index):
+        return lag[(kind, index)]
+
+    lookup_data = []
+    for li, lk in enumerate(cs.lookups):
+        cache: dict = {}
+        in_vals = _eval_exprs_on(lk.inputs, col_lag, n, 1, cache)
+        tb_vals = _eval_exprs_on(lk.tables, col_lag, n, 1, cache)
+        a_lag = _compress(in_vals, theta)
+        s_lag = _compress(tb_vals, theta)
+        a_ints = FP.decode(a_lag)
+        s_ints = FP.decode(s_lag)
+        ap_ints, sp_ints = permute_lookup(a_ints, s_ints)
+        ap_lag = jnp.asarray(_mont_table(FP, ap_ints))
+        sp_lag = jnp.asarray(_mont_table(FP, sp_ints))
+        lag[("la", li)] = ap_lag
+        lag[("ls", li)] = sp_lag
+        coeff[("la", li)] = dom.lagrange_to_coeff(ap_lag)
+        coeff[("ls", li)] = dom.lagrange_to_coeff(sp_lag)
+        tw.write_point(commit(srs, coeff[("la", li)]))
+        tw.write_point(commit(srs, coeff[("ls", li)]))
+        lookup_data.append((a_lag, s_lag))
+
+    beta = tw.challenge()
+    gamma = tw.challenge()
+    beta_d, gamma_d = _scalar(beta), _scalar(gamma)
+
+    # 3. permutation grand product
+    perm_cols = pk.vk.perm_columns
+    if perm_cols:
+        d = delta()
+        omega_tbl = jnp.asarray(dom.omega_powers())  # X on H
+        num = None
+        den = None
+        for j, col in enumerate(perm_cols):
+            v = lag[(col.kind, col.index)]
+            dj = pow(d, j, P) * beta % P
+            t_num = FP.add(FP.add(v, FP.mul(_scalar(dj), omega_tbl)), gamma_d)
+            sig = lag[("sigma", j)]
+            t_den = FP.add(FP.add(v, FP.mul(beta_d, sig)), gamma_d)
+            num = t_num if num is None else FP.mul(num, t_num)
+            den = t_den if den is None else FP.mul(den, t_den)
+        zperm = _grand_product(num, den)
+        lag[("zperm",)] = zperm
+        coeff[("zperm",)] = dom.lagrange_to_coeff(zperm)
+        tw.write_point(commit(srs, coeff[("zperm",)]))
+
+    # 4. lookup grand products
+    for li, (a_lag, s_lag) in enumerate(lookup_data):
+        num = FP.mul(FP.add(a_lag, beta_d), FP.add(s_lag, gamma_d))
+        den = FP.mul(
+            FP.add(lag[("la", li)], beta_d), FP.add(lag[("ls", li)], gamma_d)
+        )
+        zlk = _grand_product(num, den)
+        lag[("lz", li)] = zlk
+        coeff[("lz", li)] = dom.lagrange_to_coeff(zlk)
+        tw.write_point(commit(srs, coeff[("lz", li)]))
+
+    y = tw.challenge()
+
+    # 5. quotient: evaluate every constraint on the extended coset
+    ext_cache: dict[tuple, jnp.ndarray] = {}
+
+    def ext(pid) -> jnp.ndarray:
+        if pid not in ext_cache:
+            ext_cache[pid] = dom.coeff_to_extended(coeff[pid])
+        return ext_cache[pid]
+
+    def ext_col(kind, index):
+        return ext((kind, index))
+
+    l0_ext = jnp.asarray(dom.l0_evals_ext())
+    x_ext = jnp.asarray(dom.x_evals_ext())
+    one_ext = FP.ones((dom.n_ext,))
+
+    constraints = []  # list of (16, n_ext) arrays, canonical order
+    gate_cache: dict = {}
+    for g in cs.gates:
+        constraints.extend(
+            _eval_exprs_on([p for p in g.polys], ext_col, dom.n_ext, scale, gate_cache)
+        )
+    if perm_cols:
+        z = ext(("zperm",))
+        z_next = _rolled(z, 1, scale)
+        constraints.append(FP.mul(l0_ext, FP.sub(z, one_ext)))
+        d = delta()
+        # z accumulates Π id/σ, so Z(ωX) pairs with the σ side:
+        #   Z(ωX)·Π(v + β·σ_j + γ) − Z(X)·Π(v + β·δ^j·X + γ) = 0
+        left, right = z_next, z
+        for j, col in enumerate(perm_cols):
+            v = ext((col.kind, col.index))
+            dj = pow(d, j, P) * beta % P
+            left = FP.mul(
+                left,
+                FP.add(FP.add(v, FP.mul(beta_d, ext(("sigma", j)))), gamma_d),
+            )
+            right = FP.mul(
+                right, FP.add(FP.add(v, FP.mul(_scalar(dj), x_ext)), gamma_d)
+            )
+        constraints.append(FP.sub(left, right))
+    for li, lk in enumerate(cs.lookups):
+        cache = {}
+        in_ext = _eval_exprs_on(lk.inputs, ext_col, dom.n_ext, scale, cache)
+        tb_ext = _eval_exprs_on(lk.tables, ext_col, dom.n_ext, scale, cache)
+        a_ext = _compress(in_ext, theta)
+        s_ext = _compress(tb_ext, theta)
+        ap = ext(("la", li))
+        sp = ext(("ls", li))
+        zl = ext(("lz", li))
+        zl_next = _rolled(zl, 1, scale)
+        ap_prev = _rolled(ap, -1, scale)
+        constraints.append(FP.mul(l0_ext, FP.sub(zl, one_ext)))
+        constraints.append(
+            FP.sub(
+                FP.mul(zl_next, FP.mul(FP.add(ap, beta_d), FP.add(sp, gamma_d))),
+                FP.mul(zl, FP.mul(FP.add(a_ext, beta_d), FP.add(s_ext, gamma_d))),
+            )
+        )
+        constraints.append(FP.mul(l0_ext, FP.sub(ap, sp)))
+        constraints.append(FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
+
+    y_d = _scalar(y)
+    acc = constraints[0]
+    for c in constraints[1:]:
+        acc = FP.add(FP.mul(acc, y_d), c)
+
+    q_ext = dom.divide_by_vanishing(acc)
+    q_coeff_full = dom.extended_to_coeff(q_ext)
+    n_chunks = dom.n_ext // n
+    for c in range(n_chunks):
+        coeff[("q", c)] = q_coeff_full[:, c * n : (c + 1) * n]
+        lag[("q", c)] = dom.coeff_to_lagrange(coeff[("q", c)])
+        tw.write_point(commit(srs, coeff[("q", c)]))
+
+    x = tw.challenge()
+
+    # 6. evaluations
+    slots = eval_schedule(cs, len(perm_cols), n_chunks)
+    evals: dict[tuple, int] = {}  # (pid, rot) -> value
+    omega = dom.omega
+    points = {
+        0: x % P,
+        1: x * omega % P,
+        -1: x * pow(omega, P - 2, P) % P,
+    }
+    for slot in slots:
+        z = points[slot.rotation]
+        zd = FP.encode([z])[:, 0]
+        val = FP.decode(eval_poly(FP, coeff[slot.pid], zd)[:, None])[0]
+        evals[(slot.pid, slot.rotation)] = val
+        if slot.opened:
+            tw.write_scalar(val)
+
+    # 7. multiopen (BDFG batch opening, one IPA)
+    multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals)
+    return tw.finalize()
+
+
+def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals):
+    n = dom.n
+    v = tw.challenge()
+    u = tw.challenge()
+    rot_order = multiopen_point_order(slots)
+
+    omega_tbl = jnp.asarray(dom.omega_powers())
+    q_lag_total = None
+    p_group = []  # (rot, P_lag, P_coeff, r_value)
+    for rot in rot_order:
+        group = [s for s in slots if s.opened and s.rotation == rot]
+        p_lag = None
+        p_coeff = None
+        r_val = 0
+        vi = 1
+        for s in group:
+            wd = _scalar(vi)
+            term_l = FP.mul(wd, lag[s.pid])
+            term_c = FP.mul(wd, coeff[s.pid])
+            p_lag = term_l if p_lag is None else FP.add(p_lag, term_l)
+            p_coeff = term_c if p_coeff is None else FP.add(p_coeff, term_c)
+            r_val = (r_val + vi * evals[(s.pid, rot)]) % P
+            vi = vi * v % P
+        p_group.append((rot, p_lag, p_coeff, r_val))
+
+    uj = 1
+    for rot, p_lag, p_coeff, r_val in p_group:
+        z = points[rot]
+        denom = FP.sub(omega_tbl, _scalar(z))
+        inv_denom = FP.inv(denom)
+        numer = FP.sub(p_lag, jnp.broadcast_to(_scalar(r_val), (16, n)))
+        term = FP.mul(FP.mul(_scalar(uj), numer), inv_denom)
+        q_lag_total = term if q_lag_total is None else FP.add(q_lag_total, term)
+        uj = uj * u % P
+
+    q_coeff = dom.lagrange_to_coeff(q_lag_total)
+    tw.write_point(commit(srs, q_coeff))
+    zstar = tw.challenge()
+    zd = FP.encode([zstar])[:, 0]
+
+    w_vals = []
+    for rot, p_lag, p_coeff, r_val in p_group:
+        wv = FP.decode(eval_poly(FP, p_coeff, zd)[:, None])[0]
+        w_vals.append(wv)
+        tw.write_scalar(wv)
+
+    s_ch = tw.challenge()
+    t_coeff = q_coeff
+    sj = s_ch
+    for (_, _, p_coeff, _), wv in zip(p_group, w_vals):
+        t_coeff = FP.add(t_coeff, FP.mul(_scalar(sj), p_coeff))
+        sj = sj * s_ch % P
+
+    open_poly(srs, tw, t_coeff, zstar)

@@ -91,13 +91,14 @@ class Domain:
         """Device table of [1, ω, …, ω^{n-1}] (Montgomery)."""
         return powers(self.field, self.omega, self.n)
 
-    def l0_evals_ext(self) -> jnp.ndarray:
+    def l0_evals_ext(self) -> np.ndarray:
         """Coset-extended evaluations of the first Lagrange basis poly l_0.
 
-        l_0(X) = (X^n - 1) / (n (X - 1)).
+        l_0(X) = (X^n - 1) / (n (X - 1)).  Cached: host modpow loop.
         """
+        if getattr(self, "_l0_ext", None) is not None:
+            return self._l0_ext
         p = self.field.modulus
-        n_inv = pow(self.n, p - 2, p)
         vals = []
         x = self.g_coset
         for i in range(self.n_ext):
@@ -105,7 +106,21 @@ class Domain:
             den = (self.n * (x - 1)) % p
             vals.append(num * pow(den, p - 2, p) % p)
             x = (x * self.omega_ext) % p
-        return _mont_table(self.field, vals)
+        self._l0_ext = _mont_table(self.field, vals)
+        return self._l0_ext
+
+    def x_evals_ext(self) -> np.ndarray:
+        """Evaluations of the identity polynomial X on the extended coset."""
+        if getattr(self, "_x_ext", None) is not None:
+            return self._x_ext
+        p = self.field.modulus
+        vals = []
+        x = self.g_coset
+        for i in range(self.n_ext):
+            vals.append(x)
+            x = (x * self.omega_ext) % p
+        self._x_ext = _mont_table(self.field, vals)
+        return self._x_ext
 
     def lagrange_evals_host(self, x: int, indices) -> list[int]:
         """l_i(x) for a host point x (verifier side), exact Python ints."""
