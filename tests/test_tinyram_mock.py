@@ -1,0 +1,144 @@
+"""TinyRAM circuit mock-prover tests (tier-2 of the reference test strategy).
+
+Programs mirror the reference's MockProver suites: the minimal Answer-only
+trace (circuits/mod.rs:379-386), mov/answer (exe.rs:1117+), arithmetic and
+bitwise mixes, shifts, signed compares, and memory load/store.
+"""
+
+import pytest
+
+from tinyram_tpu.tinyram import Imm, Instruction, Reg, TinyRamCircuit, eval_program
+
+
+def I(op, ri=None, rj=None, a=0, areg=None):
+    return Instruction(op, ri, rj, Reg(areg) if areg is not None else Imm(a))
+
+
+@pytest.fixture(scope="module")
+def circ8():
+    return TinyRamCircuit(8, 8)
+
+
+def check(circ, prog, primary=(), aux=(), expect_answer=None):
+    tr = eval_program(prog, circ.tcs.word_bits, circ.tcs.reg_count, primary, aux)
+    if expect_answer is not None:
+        assert tr.answer == expect_answer
+    failures = circ.mock_prove(tr)
+    assert failures == [], "\n".join(str(f) for f in failures[:10])
+    return tr
+
+
+def test_answer_only(circ8):
+    check(circ8, [I("Answer", a=0)], expect_answer=0)
+
+
+def test_mov_answer(circ8):
+    check(circ8, [I("Mov", ri=2, a=55), I("Answer", areg=2)], expect_answer=55)
+
+
+def test_bitwise_ops(circ8):
+    check(circ8, [
+        I("Mov", ri=0, a=0b10110101),
+        I("And", ri=1, rj=0, a=0b11001100),
+        I("Or", ri=2, rj=0, a=0b00001111),
+        I("Xor", ri=3, rj=0, areg=2),
+        I("Not", ri=4, a=0b01010101),
+        I("Answer", areg=3),
+    ])
+
+
+def test_arith_ops(circ8):
+    check(circ8, [
+        I("Mov", ri=0, a=200),
+        I("Add", ri=1, rj=0, a=100),      # carry
+        I("Sub", ri=2, rj=0, a=250),      # borrow
+        I("Mull", ri=3, rj=0, a=3),       # overflow word
+        I("UMulh", ri=4, rj=0, a=3),
+        I("SMulh", ri=5, rj=0, a=0xFF),   # signed: 200 is -56
+        I("UDiv", ri=6, rj=0, a=7),
+        I("UMod", ri=7, rj=0, a=7),
+        I("Answer", areg=6),
+    ])
+
+
+def test_div_by_zero(circ8):
+    check(circ8, [
+        I("Mov", ri=0, a=9),
+        I("UDiv", ri=1, rj=0, a=0),
+        I("UMod", ri=2, rj=0, a=0),
+        I("Answer", areg=1),
+    ], expect_answer=0)
+
+
+def test_compares_and_jumps(circ8):
+    check(circ8, [
+        I("Mov", ri=0, a=5),
+        I("Cmpe", ri=0, a=5),
+        I("CMov", ri=1, a=42),
+        I("Cmpa", ri=0, a=9),      # 5 > 9 false
+        I("CnJmp", a=6),           # taken
+        I("Answer", a=1),
+        I("Cmpae", ri=0, a=5),     # true
+        I("Cmpg", ri=0, a=0xFF),   # 5 > -1 signed: true
+        I("Cmpge", ri=0, a=5),
+        I("CJmp", a=10),           # taken
+        I("Answer", areg=1),
+    ], expect_answer=42)
+
+
+def test_shifts(circ8):
+    check(circ8, [
+        I("Mov", ri=0, a=0b10010110),
+        I("Shl", ri=1, rj=0, a=3),
+        I("Shr", ri=2, rj=0, a=3),
+        I("Shl", ri=3, rj=0, a=0),    # shift by zero
+        I("Shr", ri=4, rj=0, a=0),
+        I("Shl", ri=5, rj=0, a=8),    # shift by W
+        I("Shr", ri=6, rj=0, a=8),
+        I("Shl", ri=7, rj=0, a=200),  # overshift
+        I("Answer", areg=2),
+    ])
+
+
+def test_load_store(circ8):
+    check(circ8, [
+        I("LoadW", ri=0, a=0),
+        I("And", ri=1, rj=0, a=0b1),
+        I("StoreW", ri=1, a=8),
+        I("LoadW", ri=2, a=8),
+        I("Answer", areg=2),
+    ], primary=[0b1], expect_answer=1)
+
+
+def test_tampered_witness_fails(circ8):
+    """Negative control: a corrupted register column must trip a gate."""
+    import numpy as np
+
+    from tinyram_tpu.plonk import MockProver
+    from tinyram_tpu.tinyram.exe import exe_witness
+
+    prog = [I("Mov", ri=2, a=55), I("Answer", areg=2)]
+    tr = eval_program(prog, 8, 8)
+    asg = circ8.assignment(tr)
+    # corrupt reg2 on row 1 (the Answer row): claim r2 = 54
+    col = circ8.tcs.col.advice["reg2"]
+    vals = [54 if i == 1 else (55 if i == 1 else 0) for i in range(circ8.tcs.n)]
+    vals = [0] * circ8.tcs.n
+    vals[1] = 54
+    asg.set(col, vals)
+    failures = MockProver(circ8.tcs.cs, asg).verify()
+    assert failures, "tampered witness not caught"
+
+
+def test_wrong_answer_fails(circ8):
+    from tinyram_tpu.plonk import MockProver
+    from tinyram_tpu.tinyram.exe import instance_columns
+
+    prog = [I("Answer", a=7)]
+    tr = eval_program(prog, 8, 8)
+    asg = circ8.assignment(tr)
+    # lie about the public answer
+    bad = instance_columns(circ8.tcs, prog, 8)
+    asg.set(circ8.tcs.col.instance["answer"], bad["answer"])
+    failures = MockProver(circ8.tcs.cs, asg).verify()
+    assert any(f.name.startswith("answer_binding") for f in failures), failures

@@ -1,0 +1,792 @@
+"""The TinyRAM Exe table: constraint construction + batched witness build.
+
+TPU-native reimplementation of the reference's `ExeConfig`/`ExeChip`
+(/root/reference/src/circuits/tables/exe.rs) plus every gadget it composes
+(logic, sum, ssum, prod, sprod, mod, shift, flag1-4, signed, even-bits,
+changed — SURVEY.md §2 L3/L4).  Constraint semantics follow the reference
+gate-for-gate, with documented fixes (see selectors.py docstring and
+inline notes) for the reference's known-incomplete spots:
+
+  * Shr uses a sound two-table power encoding (a_power = 2^(W-s) exact),
+    with the direction bits (shift_left/shift_right) bound to the opcode
+    through the Out table — fixes exe/temp_vars.rs:108-115 FIXME.
+  * d is range-checked on shift rows.
+  * a_shift=1 additionally requires a ≥ W (reference allowed a malicious
+    a_shift=1 on small shifts, zeroing the result).
+  * lsb_b is actually constrained (via the spread-bits table) instead of
+    being free advice (flag4.rs:74-96).
+  * The trace must end with Answer (last_row · s_trace = 0) and the answer
+    value is bound to a public instance column (exe.rs:146 TODO).
+  * msb booleanness is enforced.
+
+Witness assignment is one vectorized numpy pass over the step arrays —
+the replacement for the row-at-a-time `assign_trace` (exe.rs:792-1081,
+SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..plonk.circuit import Assignment, Column, ConstraintSystem
+from ..plonk.expr import Const, Expr
+from .emulator import Trace
+from .isa import ANSWER_OPCODE, Imm, Instruction, Program
+from .selectors import (
+    OUT_NAMES,
+    out_table_rows,
+    sel_layout,
+    selection_table,
+    selector_row,
+)
+
+
+def spread(x: int) -> int:
+    """Bits of x moved to even positions (even_bits.rs:211-223)."""
+    r, c = 0, 0
+    while x:
+        r |= (x & 1) << (2 * c)
+        x >>= 1
+        c += 1
+    return r
+
+
+def spread_np(x: np.ndarray, word_bits: int) -> np.ndarray:
+    out = np.zeros_like(x)
+    for i in range(word_bits):
+        out |= ((x >> i) & 1) << (2 * i)
+    return out
+
+
+def decomp_even_odd(x: np.ndarray, word_bits: int):
+    """word -> (even, odd) spread parts: x = even + 2*odd (even_bits.rs:246)."""
+    even_mask = sum(1 << (2 * i) for i in range((word_bits + 1) // 2))
+    e = x & even_mask
+    o = (x & (even_mask << 1)) >> 1
+    return e, o
+
+
+@dataclass
+class ExeColumns:
+    """Name-indexed column handles (fixed/advice/instance)."""
+
+    fixed: dict
+    advice: dict
+    instance: dict
+
+
+class TinyRamCS:
+    """Builds the full TinyRAM constraint system for (WORD_BITS, REG_COUNT)."""
+
+    def __init__(self, word_bits: int, reg_count: int):
+        self.word_bits = word_bits
+        self.reg_count = reg_count
+        self.table_len = 1 << (word_bits // 2)
+        # circuit size: reference uses k = 2 + WORD_BITS/2 (test_utils.rs:20)
+        self.k = 2 + word_bits // 2
+        self.n = 1 << self.k
+        self.cs = ConstraintSystem()
+        self.pl_names = [
+            s for s in sel_layout(reg_count)
+            if not s.startswith("out.") and s != "shift_left"
+        ]
+        self._build_columns()
+        self._build_gates()
+        self._build_lookups()
+
+    # ------------------------------------------------------------- columns
+
+    def _build_columns(self):
+        cs = self.cs
+        R = self.reg_count
+        f, a, i = {}, {}, {}
+        for name in (
+            "s_table", "first_line", "last_row", "s_prog", "pc_fixed",
+            "t_even",
+            "pow_val", "pow_mod",          # 2^i mod 2^W, i ∈ [0, W]
+            "pow_exact_val", "pow_exact",  # 2^i exact,   i ∈ [0, W]
+            "ot_opcode", "ot_cont",
+            *[f"ot_{o}" for o in OUT_NAMES],
+            "ot_left", "ot_right",
+        ):
+            f[name] = cs.fixed_column(name)
+        a["s_trace"] = cs.advice_column("s_trace")
+        a["pc"] = cs.advice_column("pc")
+        for r in range(R):
+            a[f"reg{r}"] = cs.advice_column(f"reg{r}")
+        a["flag"] = cs.advice_column("flag")
+        a["value"] = cs.advice_column("value")
+        a["opcode"] = cs.advice_column("opcode")
+        a["immediate"] = cs.advice_column("immediate")
+        for name in self.pl_names:
+            a[f"pl.{name}"] = cs.advice_column(f"pl.{name}")
+        for o in OUT_NAMES:
+            a[f"out.{o}"] = cs.advice_column(f"out.{o}")
+        a["shift_left"] = cs.advice_column("shift_left")
+        a["shift_right"] = cs.advice_column("shift_right")
+        for v in "abcd":
+            a[f"tv_{v}"] = cs.advice_column(f"tv_{v}")
+            a[f"tv_{v}_e"] = cs.advice_column(f"tv_{v}_e")
+            a[f"tv_{v}_o"] = cs.advice_column(f"tv_{v}_o")
+        for s in ("esum", "osum"):
+            for suf in ("", "_e", "_o"):
+                a[f"{s}{suf}"] = cs.advice_column(f"{s}{suf}")
+        for v in "abc":
+            a[f"msb_{v}"] = cs.advice_column(f"msb_{v}")
+            a[f"sigma_{v}"] = cs.advice_column(f"sigma_{v}")
+            for suf in ("", "_e", "_o"):
+                a[f"chk_{v}{suf}"] = cs.advice_column(f"chk_{v}{suf}")
+        a["a_flag"] = cs.advice_column("a_flag")
+        for suf in ("", "_e", "_o"):
+            a[f"r{suf}"] = cs.advice_column(f"r{suf}")
+        a["a_shift"] = cs.advice_column("a_shift")
+        a["a_power"] = cs.advice_column("a_power")
+        a["pow_key"] = cs.advice_column("pow_key")
+        a["lsb_b"] = cs.advice_column("lsb_b")
+        a["q_lsb"] = cs.advice_column("q_lsb")
+
+        # instance: program lines + opcode/immediate + claimed answer
+        i["p.opcode"] = cs.instance_column("p.opcode")
+        i["p.immediate"] = cs.instance_column("p.immediate")
+        for name in self.pl_names:
+            i[f"p.{name}"] = cs.instance_column(f"p.{name}")
+        i["answer"] = cs.instance_column("answer")
+        self.col = ExeColumns(fixed=f, advice=a, instance=i)
+
+    # --------------------------------------------------------------- gates
+
+    def _build_gates(self):
+        cs = self.cs
+        W = self.word_bits
+        R = self.reg_count
+        f, a = self.col.fixed, self.col.advice
+        st = f["s_table"].cur()
+        tr = a["s_trace"].cur()
+        tr_n = a["s_trace"].next()
+        MAX = 1 << W
+
+        def out(name) -> Expr:
+            return a[f"out.{name}"].cur()
+
+        # --- trace shape gates (exe.rs:147-193 + our last-row/answer fixes)
+        fl = f["first_line"].cur()
+        cs.gate(
+            "start_trace",
+            [fl * (Const(1) - tr), fl * a["pc"].cur(), fl * a["flag"].cur()]
+            + [fl * a[f"reg{r}"].cur() for r in range(R)],
+        )
+        big_r = Const(1 << 32)
+        cs.gate(
+            "contiguous_trace",
+            st * (tr - tr_n) * (big_r - tr * (1 << 32) + a["opcode"].cur()
+                                - ANSWER_OPCODE),
+        )
+        cs.gate("trace_ends", f["last_row"].cur() * tr)
+        cs.gate(
+            "answer_binding",
+            st * tr * (Const(1) - tr_n)
+            * (a["tv_a"].cur() - self.col.instance["answer"].cur()),
+        )
+
+        # --- temp-var routing gates (exe.rs:195-498)
+        def routing(sel_col: Expr, tv: Expr, target: Expr, next_gated: bool):
+            gate_sel = (st * tr_n) if next_gated else (st * tr)
+            return gate_sel * sel_col * (target - tv)
+
+        for v in "abcd":
+            tv = a[f"tv_{v}"].cur()
+            p = f"pl.{v}"
+            routes = []
+            if v == "a":
+                routes = [
+                    (f"{p}.pc_next", a["pc"].next(), True),
+                    (f"{p}.a", a["immediate"].cur(), False),
+                    (f"{p}.v_addr", a["value"].cur(), False),
+                ]
+            elif v == "b":
+                routes = [
+                    (f"{p}.pc", a["pc"].cur(), True),
+                    (f"{p}.pc_next", a["pc"].next(), True),
+                    (f"{p}.pc_plus_one", a["pc"].cur() + 1, True),
+                    (f"{p}.a", a["immediate"].cur(), False),
+                    (f"{p}.max_word", Const(MAX - 1), False),
+                ]
+            elif v == "c":
+                routes = [
+                    (f"{p}.a", a["immediate"].cur(), False),
+                    (f"{p}.zero", Const(0), False),
+                ]
+            else:
+                routes = [
+                    (f"{p}.pc_plus_one", a["pc"].cur() + 1, True),
+                    (f"{p}.a", a["immediate"].cur(), False),
+                    (f"{p}.zero", Const(0), False),
+                    (f"{p}.one", Const(1), False),
+                ]
+            for sel_name, target, next_gated in routes:
+                cs.gate(
+                    f"tv.{v}.{sel_name.split('.')[-1]}",
+                    routing(a[sel_name].cur(), tv, target, next_gated),
+                )
+            for r in range(R):
+                cs.gate(
+                    f"tv.{v}.reg{r}",
+                    routing(a[f"{p}.reg{r}"].cur(), tv, a[f"reg{r}"].cur(), False),
+                )
+                cs.gate(
+                    f"tv.{v}.reg_next{r}",
+                    routing(
+                        a[f"{p}.reg_next{r}"].cur(), tv, a[f"reg{r}"].next(), True
+                    ),
+                )
+
+        # --- unchanged gate (changed.rs:91-120)
+        unchanged = [
+            (Const(1) - a["pl.ch.pc"].cur())
+            * (a["pc"].cur() + 1 - a["pc"].next()),
+            (Const(1) - a["pl.ch.flag"].cur())
+            * (a["flag"].cur() - a["flag"].next()),
+        ] + [
+            (Const(1) - a[f"pl.ch.reg{r}"].cur())
+            * (a[f"reg{r}"].cur() - a[f"reg{r}"].next())
+            for r in range(R)
+        ]
+        cs.gate("unchanged", [st * tr_n * u for u in unchanged])
+
+        # --- even-bits decompose gates (even_bits.rs:146-156); activation
+        # unions cover every gadget use (see temp_vars.rs:64-116 + fixes)
+        self.eb_activations = {
+            "tv_a": ["and", "or", "xor", "mod", "ssum", "sprod"],
+            "tv_b": ["and", "or", "xor", "mod", "sum", "ssum", "sprod", "flag4"],
+            "tv_c": ["xor", "prod", "shift", "ssum", "sprod"],
+            "tv_d": ["prod", "sprod", "shift"],
+            "esum": ["and", "or", "xor"],
+            "osum": ["and", "or", "xor"],
+            "chk_a": ["ssum", "sprod"],
+            "chk_b": ["sprod", "flag4"],
+            "chk_c": ["ssum", "sprod"],
+            "r": ["flag3", "shift"],
+        }
+
+        def acts_expr(names) -> Expr:
+            e = out(names[0])
+            for nm in names[1:]:
+                e = e + out(nm)
+            return e
+
+        for word, acts in self.eb_activations.items():
+            sel = st * acts_expr(acts)
+            cs.gate(
+                f"decomp.{word}",
+                sel
+                * (a[f"{word}_e"].cur() + 2 * a[f"{word}_o"].cur()
+                   - a[word].cur()),
+            )
+
+        # --- logic gadget (logic.rs:125-185)
+        s_logic = st * (out("and") + out("xor") + out("or"))
+        cs.gate(
+            "l_add.even",
+            s_logic * (a["tv_a_e"].cur() + a["tv_b_e"].cur() - a["esum"].cur()),
+        )
+        cs.gate(
+            "l_add.odd",
+            s_logic * (a["tv_a_o"].cur() + a["tv_b_o"].cur() - a["osum"].cur()),
+        )
+        and_expr = a["esum_o"].cur() + 2 * a["osum_o"].cur()
+        xor_expr = a["esum_e"].cur() + 2 * a["osum_e"].cur()
+        res = a["tv_c"].cur()
+        cs.gate("and", st * out("and") * (and_expr - res))
+        cs.gate("xor", st * out("xor") * (xor_expr - res))
+        cs.gate("or", st * out("or") * (xor_expr + and_expr - res))
+
+        # --- sum (sum.rs:78-96): a + b = c + 2^W·flag' − d
+        tva, tvb, tvc, tvd = (a[f"tv_{v}"].cur() for v in "abcd")
+        flag_n = a["flag"].next()
+        cs.gate(
+            "sum", st * out("sum") * (tva + tvb - tvc - Const(MAX) * flag_n + tvd)
+        )
+
+        # --- signed decomposition (signed.rs:79-106 + msb booleanness)
+        for v in "abc":
+            s_signed = st * acts_expr(self.eb_activations[f"chk_{v}"])
+            msb = a[f"msb_{v}"].cur()
+            sigma = a[f"sigma_{v}"].cur()
+            word = a[f"tv_{v}"].cur()
+            word_odd = a[f"tv_{v}_o"].cur()
+            cs.gate(
+                f"signed.{v}",
+                [
+                    s_signed * (word - msb * MAX
+                                - (sigma - msb * 2 * sigma)),
+                    s_signed * (word_odd + (Const(1) - 2 * msb)
+                                * (1 << (W - 2)) - a[f"chk_{v}"].cur()),
+                    s_signed * msb * (msb - 1),
+                ],
+            )
+
+        def signed_val(v):  # word − msb·2^W (the signed value, degree 1)
+            return a[f"tv_{v}"].cur() - a[f"msb_{v}"].cur() * MAX
+
+        # --- ssum (ssum.rs:75-102, degree-reduced via signed_val)
+        cs.gate(
+            "ssum",
+            st * out("ssum")
+            * (signed_val("a") + tvb - signed_val("c")
+               - Const(MAX) * flag_n + tvd),
+        )
+        # --- prod (prod.rs:62-76): a·b = d + 2^W·c
+        cs.gate("prod", st * out("prod") * (tva * tvb - tvd - Const(MAX) * tvc))
+        # --- sprod (sprod.rs:66-93, degree-reduced)
+        cs.gate(
+            "sprod",
+            st * out("sprod")
+            * (signed_val("a") * signed_val("b") - tvd
+               - Const(MAX) * signed_val("c")),
+        )
+        # --- mod (modulo.rs:40-55): flag'(b−d) + d − b·c − a = 0
+        cs.gate(
+            "mod",
+            st * out("mod") * (flag_n * (tvb - tvd) + tvd - tvb * tvc - tva),
+        )
+
+        # --- shift (shift.rs:112-165 + soundness fixes, module docstring)
+        ash = a["a_shift"].cur()
+        r_comp = 2 * a["r_o"].cur() + a["r_e"].cur()
+        il = a["shift_left"].cur()
+        ir = a["shift_right"].cur()
+        key_fwd = tva + ash * (Const(W) - tva)  # a, or W on overshift
+        cs.gate(
+            "shift",
+            [
+                st * out("shift") * ash * (ash - 1),
+                st * out("shift") * (Const(1) - ash) * (Const(W) - tva - r_comp),
+                st * out("shift") * ash * (tva - Const(W) - r_comp),
+                st * out("shift") * (a["a_power"].cur() * tvb - tvd
+                                     - Const(MAX) * tvc),
+                st * out("shift") * (a["pow_key"].cur()
+                                     - il * key_fwd
+                                     - ir * (Const(W) - key_fwd)),
+            ],
+        )
+        # --- flag1..flag4 (flag1.rs:32-48, flag2.rs:40-60, flag3.rs:43-85,
+        #     flag4.rs:40-63 with constrained lsb)
+        cs.gate("flag1", st * out("flag1") * flag_n * tvc)
+        cs.gate(
+            "flag2", st * out("flag2") * ((flag_n + tvc) * a["a_flag"].cur() - 1)
+        )
+        cs.gate(
+            "flag3",
+            [
+                st * out("flag3")
+                * (tvb * flag_n
+                   + (Const(1) - flag_n) * (tvc - tva - 1 - r_comp)),
+                st * out("flag3") * tvc * ((tvc - tva - 1) - a["r"].cur()),
+            ],
+        )
+        lsb = a["lsb_b"].cur()
+        cs.gate(
+            "flag4",
+            [
+                st * out("flag4")
+                * (flag_n - il * a["msb_b"].cur() - ir * lsb),
+                st * out("flag4") * lsb * (lsb - 1),
+                st * out("flag4")
+                * (a["tv_b_e"].cur() - lsb - 4 * a["q_lsb"].cur()),
+            ],
+        )
+
+    # ------------------------------------------------------------- lookups
+
+    def _build_lookups(self):
+        cs = self.cs
+        f, a, inst = self.col.fixed, self.col.advice, self.col.instance
+        st = f["s_table"].cur()
+        tr = a["s_trace"].cur()
+
+        def out(name):
+            return a[f"out.{name}"].cur()
+
+        def acts_expr(names):
+            e = out(names[0])
+            for nm in names[1:]:
+                e = e + out(nm)
+            return e
+
+        # even-bits range lookups (even_bits.rs:158-170) for every decomp
+        for word, acts in self.eb_activations.items():
+            sel = st * acts_expr(acts)
+            for part in ("_e", "_o"):
+                cs.lookup(
+                    f"eb.{word}{part}",
+                    [sel * a[f"{word}{part}"].cur()],
+                    [f["t_even"].cur()],
+                )
+        # lsb spread-rest lookup (our fix; see _build_gates flag4)
+        cs.lookup(
+            "eb.q_lsb",
+            [st * out("flag4") * a["q_lsb"].cur()],
+            [f["t_even"].cur()],
+        )
+
+        # pow lookups: Shl (mod table), Shr (exact table) — shift.rs:144-166
+        for tag, table_val, table_pow in (
+            ("left", "pow_val", "pow_mod"),
+            ("right", "pow_exact_val", "pow_exact"),
+        ):
+            gate = st * a[f"shift_{tag}"].cur()
+            cs.lookup(
+                f"pow.{tag}",
+                [
+                    gate * a["pow_key"].cur(),
+                    gate * a["a_power"].cur() + Const(1) - gate,
+                ],
+                [f[table_val].cur(), f[table_pow].cur()],
+            )
+
+        # Out lookup: opcode+1 -> out bits + continue + direction
+        # (out_table.rs:33-74 plus the direction columns)
+        s = st * tr
+        inputs = [s * a["s_trace"].next(), s * (a["opcode"].cur() + 1)]
+        tables = [f["ot_cont"].cur(), f["ot_opcode"].cur()]
+        for o in OUT_NAMES:
+            inputs.append(s * a[f"out.{o}"].cur())
+            tables.append(f[f"ot_{o}"].cur())
+        inputs += [s * a["shift_left"].cur(), s * a["shift_right"].cur()]
+        tables += [f["ot_left"].cur(), f["ot_right"].cur()]
+        cs.lookup("out", inputs, tables)
+
+        # Prog dynamic lookup (prog.rs:163-193): every trace row's
+        # (pc, opcode, immediate, selectors) is a row of the program table,
+        # whose table side lives directly in instance columns.
+        sp = f["s_prog"].cur()
+        inputs = [tr * a["pc"].cur(), tr * a["opcode"].cur(),
+                  tr * a["immediate"].cur()]
+        tables = [sp * f["pc_fixed"].cur(), sp * inst["p.opcode"].cur(),
+                  sp * inst["p.immediate"].cur()]
+        for name in self.pl_names:
+            inputs.append(tr * a[f"pl.{name}"].cur())
+            tables.append(sp * inst[f"p.{name}"].cur())
+        cs.lookup("prog", inputs, tables)
+
+
+# ---------------------------------------------------------------- witness
+
+KIND_CODES = {
+    "pc_next": 0, "reg": 1, "reg_next": 2, "A": 3, "v_addr": 4,
+    "non_det": 5, "max_word": 6, "pc": 7, "pc_plus_one": 8, "zero": 9,
+    "one": 10, "unset": 9,
+}
+
+
+def _line_data(prog: Program, reg_count: int):
+    """Per-program-line static data consumed by the batched witness pass."""
+    L = len(prog)
+    sel = np.stack([selector_row(inst, reg_count) for inst in prog])
+    a_is_imm = np.array(
+        [1 if isinstance(i.a, Imm) else 0 for i in prog], dtype=np.int64
+    )
+    a_imm = np.array([i.immediate() for i in prog], dtype=np.int64)
+    a_reg = np.array(
+        [i.a.index if not isinstance(i.a, Imm) else 0 for i in prog],
+        dtype=np.int64,
+    )
+    ri = np.array([i.ri if i.ri is not None else 0 for i in prog], dtype=np.int64)
+    rj = np.array([i.rj if i.rj is not None else 0 for i in prog], dtype=np.int64)
+    kinds = np.zeros((L, 4), dtype=np.int64)
+    args = np.zeros((L, 4), dtype=np.int64)
+    for li, inst in enumerate(prog):
+        sels = selection_table(inst)[:4]
+        for vi, (kind, arg) in enumerate(sels):
+            if kind == "A":
+                if isinstance(arg, Imm):
+                    kinds[li, vi] = KIND_CODES["A"]
+                else:
+                    kinds[li, vi] = KIND_CODES["reg"]
+                    args[li, vi] = arg.index
+            else:
+                kinds[li, vi] = KIND_CODES[kind]
+                args[li, vi] = arg
+    op_names = np.array([i.op for i in prog])
+    return dict(
+        sel=sel, a_is_imm=a_is_imm, a_imm=a_imm, a_reg=a_reg, ri=ri, rj=rj,
+        kinds=kinds, args=args, op_names=op_names,
+    )
+
+
+def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
+    """All advice columns as plain-int numpy arrays of length n.
+
+    One vectorized pass over the step arrays — the batched replacement for
+    ExeChip::assign_trace (exe.rs:792-1081) and
+    TempVarSelectorsRow::push_temp_var_vals (aux.rs:400-573).
+    """
+    W = tr_cs.word_bits
+    R = tr_cs.reg_count
+    n = tr_cs.n
+    mask = (1 << W) - 1
+    T = len(trace)
+    assert T <= tr_cs.table_len - 1, "trace too long for table"
+
+    ld = _line_data(trace.prog, R)
+    li = trace.inst_index  # (T,)
+    t_idx = np.arange(T)
+    opn = ld["op_names"][li]  # per-step mnemonic
+
+    def is_op(*ops):
+        return np.isin(opn, ops)
+
+    pc = trace.pc
+    pcn = np.append(pc[1:], 0)
+    regs = trace.regs
+    flag_next = trace.flag[1 : T + 1]
+    a_is_imm = ld["a_is_imm"][li]
+    a_val = np.where(
+        a_is_imm == 1, ld["a_imm"][li], regs[t_idx, ld["a_reg"][li]]
+    )
+    ri_val_next = regs[t_idx + 1, ld["ri"][li]]
+    rj_val = regs[t_idx, ld["rj"][li]]
+    ri_val = regs[t_idx, ld["ri"][li]]
+
+    # ---- non-deterministic advice per temp var (aux.rs:421-570)
+    safe_a = np.where(a_val == 0, 1, a_val)
+    nd_a = np.where(
+        is_op("UDiv"), np.where(a_val == 0, 0, rj_val % safe_a), 0
+    )
+    # borrow witnesses need ta/tc of the cmp rows: ta=reg(ri), tc=a
+    ta_cmp, tc_cmp = ri_val, a_val
+    borrow = np.where(
+        ta_cmp > tc_cmp, (1 << W) - (ta_cmp - tc_cmp), tc_cmp - ta_cmp
+    )
+    borrow_ae = np.where(
+        ta_cmp >= tc_cmp, (1 << W) - 1 - (ta_cmp - tc_cmp),
+        tc_cmp - ta_cmp - 1,
+    )
+    nd_b = np.select(
+        [
+            is_op("UMod"),
+            is_op("Cmpa", "Cmpg"),
+            is_op("Cmpae", "Cmpge"),
+        ],
+        [np.where(a_val == 0, 0, rj_val // safe_a), borrow, borrow_ae],
+        0,
+    )
+    prod_full = rj_val * a_val
+    s_eff = np.minimum(a_val, W)
+    pow_shl = np.where(a_val >= W, 0, 1 << np.minimum(a_val, W - 1))
+    pow_shr = 1 << (W - s_eff)
+    shl_res = (rj_val << s_eff) & mask
+    shr_res = rj_val >> s_eff
+    nd_c = np.select(
+        [is_op("Mull"), is_op("Cmpe"), is_op("Shl")],
+        [
+            (prod_full >> W) & mask,
+            ri_val ^ a_val,
+            (pow_shl * rj_val - shl_res) >> W,
+        ],
+        0,
+    )
+    sgn = lambda x: (x & ((1 << (W - 1)) - 1)) - (x & (1 << (W - 1)))
+    smul = sgn(a_val) * sgn(rj_val)
+    nd_d = np.select(
+        [is_op("UMulh"), is_op("SMulh"), is_op("Shr")],
+        [
+            prod_full & mask,
+            smul & mask,
+            pow_shr * (rj_val & ((1 << s_eff) - 1)),
+        ],
+        0,
+    )
+
+    # ---- resolve the four temp vars by selection kind
+    kinds = ld["kinds"][li]  # (T, 4)
+    args = ld["args"][li]
+    tvs = {}
+    for vi, (vname, nd) in enumerate(
+        [("a", nd_a), ("b", nd_b), ("c", nd_c), ("d", nd_d)]
+    ):
+        kk = kinds[:, vi]
+        arg = args[:, vi]
+        tvs[vname] = np.select(
+            [kk == 0, kk == 1, kk == 2, kk == 3, kk == 4, kk == 5, kk == 6,
+             kk == 7, kk == 8, kk == 10],
+            [pcn, regs[t_idx, arg], regs[t_idx + 1, arg], a_val, trace.v_addr,
+             nd, mask, pc, pc + 1, np.ones(T, dtype=np.int64)],
+            0,
+        )
+
+    cols: dict[str, np.ndarray] = {}
+
+    def put(name, arr):
+        full = np.zeros(n, dtype=np.int64)
+        full[:T] = arr
+        cols[name] = full
+
+    put("s_trace", np.ones(T, dtype=np.int64))
+    put("pc", pc)
+    for r in range(R):
+        put(f"reg{r}", regs[:T, r])
+    put("flag", trace.flag[:T])
+    put("value", trace.v_addr)
+    put("opcode", trace.opcode)
+    put("immediate", ld["a_imm"][li] * a_is_imm)
+
+    sel_names = sel_layout(R)
+    sel_rows = ld["sel"][li]  # (T, width)
+    for ci, nm in enumerate(sel_names):
+        if nm == "shift_left":
+            put("shift_left", sel_rows[:, ci])
+        elif nm.startswith("out."):
+            put(nm, sel_rows[:, ci])
+        else:
+            put(f"pl.{nm}", sel_rows[:, ci])
+    put("shift_right", np.where(is_op("Shr"), 1, 0))
+
+    for v in "abcd":
+        tv = tvs[v]
+        put(f"tv_{v}", tv)
+        e, o = decomp_even_odd(tv, W)
+        put(f"tv_{v}_e", e)
+        put(f"tv_{v}_o", o)
+    ae, ao = decomp_even_odd(tvs["a"], W)
+    be, bo = decomp_even_odd(tvs["b"], W)
+    esum = ae + be
+    osum = ao + bo
+    for nm, arr in (("esum", esum), ("osum", osum)):
+        put(nm, arr)
+        e, o = decomp_even_odd(arr, W)
+        put(f"{nm}_e", e)
+        put(f"{nm}_o", o)
+
+    for v in "abc":
+        tv = tvs[v]
+        msb = (tv >> (W - 1)) & 1
+        sigma = np.where(msb == 1, (1 << W) - tv, tv)
+        _, t_o = decomp_even_odd(tv, W)
+        chk = t_o + (1 - 2 * msb) * (1 << (W - 2))
+        put(f"msb_{v}", msb)
+        put(f"sigma_{v}", sigma)
+        put(f"chk_{v}", chk)
+        e, o = decomp_even_odd(chk, W)
+        put(f"chk_{v}_e", e)
+        put(f"chk_{v}_o", o)
+
+    # flag2 inverse witness (flag2.rs:61-74; deterministic here — inv(0)=0)
+    from ..field.jfield import FP
+
+    flag2_active = sel_rows[:, sel_names.index("out.flag2")] == 1
+    p = FP.modulus
+    a_flag = np.zeros(n, dtype=object)
+    for t in np.nonzero(flag2_active)[0]:
+        a_flag[t] = pow(int(tvs["c"][t]) + int(flag_next[t]), p - 2, p)
+    cols["a_flag"] = a_flag
+
+    # r column: flag3 (UDiv/UMod) or shift residues
+    f3 = is_op("UDiv", "UMod")
+    sh = is_op("Shl", "Shr")
+    r_flag3 = np.where(tvs["c"] == 0, 0, tvs["c"] - tvs["a"] - 1)
+    r_shift = np.where(a_val > W, a_val - W, W - np.minimum(a_val, W))
+    r_arr = np.select([f3, sh], [r_flag3, r_shift], 0)
+    put("r", r_arr)
+    e, o = decomp_even_odd(r_arr, W)
+    put("r_e", e)
+    put("r_o", o)
+
+    put("a_shift", np.where(sh & (a_val > W), 1, 0))
+    put("a_power", np.select(
+        [is_op("Shl"), is_op("Shr")], [pow_shl, pow_shr], 0))
+    key_fwd = np.where(a_val > W, W, np.minimum(a_val, W))
+    put("pow_key", np.select(
+        [is_op("Shl"), is_op("Shr")], [key_fwd, W - key_fwd], 0))
+    lsb = tvs["b"] & 1
+    put("lsb_b", np.where(is_op("Shl", "Shr"), lsb, 0))
+    put("q_lsb", np.where(is_op("Shl", "Shr"), (be - lsb) >> 2, 0))
+    return cols
+
+
+def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
+    """All fixed columns (tables + structural selectors) as length-n arrays."""
+    W = tr_cs.word_bits
+    n = tr_cs.n
+    tl = tr_cs.table_len
+    cols: dict[str, np.ndarray] = {}
+
+    def zero():
+        return np.zeros(n, dtype=np.int64)
+
+    s_table = zero(); s_table[:tl] = 1
+    first = zero(); first[0] = 1
+    last = zero(); last[tl - 1] = 1
+    s_prog = zero(); s_prog[:tl] = 1
+    pc_fixed = zero(); pc_fixed[:tl] = np.arange(tl)
+    t_even = zero()
+    t_even[:tl] = spread_np(np.arange(tl), W)
+    pow_val = zero(); pow_mod = zero()
+    pow_exact_val = zero(); pow_exact = zero()
+    # pad power tables with copies of row (0, 1): an all-zero padding row
+    # would admit a_power=0 at key 0, breaking shift soundness.
+    pow_mod[:] = 1
+    pow_exact[:] = 1
+    for iv in range(W + 1):
+        pow_val[iv] = iv
+        pow_mod[iv] = (1 << iv) % (1 << W)
+        pow_exact_val[iv] = iv
+        pow_exact[iv] = 1 << iv
+    ot = out_table_rows()  # (27, 16)
+    ot_cols = {}
+    names = ["ot_opcode", "ot_cont"] + [f"ot_{o}" for o in OUT_NAMES] + [
+        "ot_left", "ot_right"
+    ]
+    # out_table_rows layout: [opcode+1, cont, *outbits, shift_left]
+    full = np.zeros((n, len(names)), dtype=np.int64)
+    full[: ot.shape[0], 0] = ot[:, 0]
+    full[: ot.shape[0], 1] = ot[:, 1]
+    for j in range(len(OUT_NAMES)):
+        full[: ot.shape[0], 2 + j] = ot[:, 2 + j]
+    full[: ot.shape[0], 2 + len(OUT_NAMES)] = ot[:, -1]  # shift_left
+    # shift_right: 1 only on the Shr row
+    from .isa import OPCODES
+
+    shr_row = list(OPCODES).index("Shr")
+    full[shr_row, 3 + len(OUT_NAMES)] = 1
+    for j, nm in enumerate(names):
+        ot_cols[nm] = full[:, j]
+
+    cols.update(
+        s_table=s_table, first_line=first, last_row=last, s_prog=s_prog,
+        pc_fixed=pc_fixed, t_even=t_even, pow_val=pow_val, pow_mod=pow_mod,
+        pow_exact_val=pow_exact_val, pow_exact=pow_exact, **ot_cols,
+    )
+    return cols
+
+
+def instance_columns(
+    tr_cs: TinyRamCS, prog: Program, answer: int
+) -> dict[str, np.ndarray]:
+    """Instance columns: padded program lines + claimed answer.
+
+    Mirrors program_instance (prog.rs:38-60): pad by repeating the final
+    Answer instruction to TABLE_LEN.
+    """
+    n, tl = tr_cs.n, tr_cs.table_len
+    assert prog and prog[-1].op == "Answer"
+    assert len(prog) <= tl
+    padded = list(prog) + [prog[-1]] * (tl - len(prog))
+    R = tr_cs.reg_count
+    sel_names = sel_layout(R)
+    cols = {}
+    cols["p.opcode"] = np.zeros(n, dtype=np.int64)
+    cols["p.immediate"] = np.zeros(n, dtype=np.int64)
+    for nm in tr_cs.pl_names:
+        cols[f"p.{nm}"] = np.zeros(n, dtype=np.int64)
+    for row, inst in enumerate(padded):
+        cols["p.opcode"][row] = inst.opcode
+        cols["p.immediate"][row] = inst.immediate()
+        sr = selector_row(inst, R)
+        for ci, nm in enumerate(sel_names):
+            if nm in tr_cs.pl_names:
+                cols[f"p.{nm}"][row] = sr[ci]
+    cols["answer"] = np.full(n, answer, dtype=np.int64)
+    return cols
