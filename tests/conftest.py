@@ -23,12 +23,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the limb-field kernels compose into deep
-# programs (NTT stages, Fermat-inversion loops) whose XLA compiles dominate
-# test wall-clock; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tinyram_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# Persistent compilation cache (opt-in via TINYRAM_CACHE=1): it speeds up
+# repeated runs substantially, but this box's XLA:CPU AOT loader crashes
+# (segfault) reloading entries whose recorded machine features
+# (+prefer-no-scatter/+prefer-no-gather) mismatch the host — so it stays
+# off by default.
+if os.environ.get("TINYRAM_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tinyram_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU; axon TPU platform leaked through: "

@@ -159,3 +159,73 @@ def msm(scalars_plain: jnp.ndarray, points: PointBatch) -> PointBatch:
     )  # batch (32, 257)
     window_sums = _weighted_bucket_reduce(buckets)
     return _combine_windows(window_sums)
+
+
+@jax.jit
+def _window_bucket_sums_batched(digits_b: jnp.ndarray, points: PointBatch):
+    """vmap of window_bucket_sums over a leading batch axis of digit vectors.
+
+    digits_b: (B, N) uint32 → PointBatch with batch (B, 257).
+    """
+    return jax.vmap(window_bucket_sums, in_axes=(0, None), out_axes=1)(
+        digits_b, points
+    )
+
+
+def msm_many(scalars_plain: jnp.ndarray, points: PointBatch) -> PointBatch:
+    """MSM of B scalar vectors against one point set in a single fused pass.
+
+    scalars_plain: (16, B, N) plain-form scalar limbs.
+    Returns a PointBatch with batch shape (B,).
+
+    This is the workhorse for committing every advice/fixed/instance column
+    of a PLONK circuit at once: all 32·B windows are bucketed in one
+    compiled program instead of B sequential Pippenger runs.
+    """
+    _, B, N = scalars_plain.shape
+    # digits: (32, B, N) -> flatten windows×batch for one vmapped pass
+    lo = scalars_plain & np.uint32(0xFF)
+    hi = (scalars_plain >> np.uint32(8)) & np.uint32(0xFF)
+    digits = jnp.stack([lo, hi], axis=1).reshape(2 * N_LIMBS, B, N)
+    digits_flat = digits.reshape(N_WINDOWS * B, N)
+    buckets_flat = _window_bucket_sums_batched(digits_flat, points)
+    # (16, 32*B, 257) -> regroup to per-column windows
+    bx = buckets_flat.x.reshape(16, N_WINDOWS, B, 257)
+    by = buckets_flat.y.reshape(16, N_WINDOWS, B, 257)
+    bz = buckets_flat.z.reshape(16, N_WINDOWS, B, 257)
+    # weighted bucket reduction vectorized over (windows × columns)
+    buckets = PointBatch(
+        bx.reshape(16, N_WINDOWS * B, 257),
+        by.reshape(16, N_WINDOWS * B, 257),
+        bz.reshape(16, N_WINDOWS * B, 257),
+    )
+    wsums = _weighted_bucket_reduce(buckets)  # batch (32*B,)
+    per_col = PointBatch(
+        wsums.x.reshape(16, N_WINDOWS, B),
+        wsums.y.reshape(16, N_WINDOWS, B),
+        wsums.z.reshape(16, N_WINDOWS, B),
+    )
+    return _combine_windows_batched(per_col)
+
+
+@jax.jit
+def _combine_windows_batched(window_sums: PointBatch) -> PointBatch:
+    """Horner window combine for (n_windows, B) batches -> (B,)."""
+    nw = window_sums.x.shape[1]
+    B = window_sums.x.shape[2]
+
+    def body(i, acc):
+        w = nw - 1 - i
+        sw = PointBatch(
+            jax.lax.dynamic_index_in_dim(window_sums.x, w, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(window_sums.y, w, 1, keepdims=False),
+            jax.lax.dynamic_index_in_dim(window_sums.z, w, 1, keepdims=False),
+        )
+
+        def dbl(_, p):
+            return vesta.double(p)
+
+        acc = jax.lax.fori_loop(0, WINDOW_BITS, dbl, acc)
+        return vesta.add(acc, sw)
+
+    return jax.lax.fori_loop(0, nw, body, vesta.identity((B,)))

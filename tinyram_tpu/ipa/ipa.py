@@ -196,3 +196,24 @@ def verify_open(
         rhs = host.add(rhs, host.scalar_mul(u * u % P, L))
         rhs = host.add(rhs, host.scalar_mul(u_inv * u_inv % P, R))
     return lhs == rhs
+
+
+def commit_many(srs: SRS, coeff_list) -> list[AffinePoint]:
+    """Commit to many (16, m) Montgomery coefficient vectors in one fused
+    batched-MSM pass (see curve.msm.msm_many)."""
+    from ..curve.msm import msm_many
+
+    if not coeff_list:
+        return []
+    n = srs.n
+    padded = []
+    for c in coeff_list:
+        m = c.shape[-1]
+        assert m <= n
+        if m < n:
+            c = jnp.concatenate([c, FP.zeros((n - m,))], axis=-1)
+        padded.append(c)
+    stack = jnp.stack(padded, axis=1)  # (16, B, n)
+    plain = FP.from_mont(stack)
+    pts = msm_many(plain, srs.g)
+    return to_affine_host(pts)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..field.jfield import FP
 from ..ipa import SRS, commit
-from ..ipa.ipa import open_poly
+from ..ipa.ipa import commit_many, open_poly
 from ..poly.domain import Domain
 from ..poly.ntt import _mont_table, eval_poly, powers, tree_sum
 from ..transcript import TranscriptWriter
@@ -46,6 +46,23 @@ def _prefix_prod_exclusive(arr: jnp.ndarray) -> jnp.ndarray:
 def _grand_product(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
     """z[i] = Π_{t<i} num[t]/den[t]  (z[0] = 1)."""
     return FP.mul(_prefix_prod_exclusive(num), FP.inv(_prefix_prod_exclusive(den)))
+
+
+@jax.jit
+def _prefix_prod_exclusive_b(arr: jnp.ndarray) -> jnp.ndarray:
+    """Batched exclusive prefix product over the last axis of (16, B, n)."""
+    inc = jax.lax.associative_scan(FP.mul, arr, axis=-1)
+    ones = jnp.broadcast_to(
+        FP.ones((arr.shape[1], 1)), (16, arr.shape[1], 1)
+    ).astype(arr.dtype)
+    return jnp.concatenate([ones, inc[..., :-1]], axis=-1)
+
+
+@jax.jit
+def _grand_product_batched(nums: jnp.ndarray, dens: jnp.ndarray) -> jnp.ndarray:
+    return FP.mul(
+        _prefix_prod_exclusive_b(nums), FP.inv(_prefix_prod_exclusive_b(dens))
+    )
 
 
 def _scalar(v: int) -> jnp.ndarray:
@@ -129,19 +146,29 @@ def create_proof(
     for j in range(len(pk.sigma_lag)):
         lag[("sigma", j)] = pk.sigma_lag[j]
         coeff[("sigma", j)] = pk.sigma_coeff[j]
+    # batched lagrange->coeff for all instance+advice columns at once
+    stack = jnp.stack(
+        [asg.instance[i] for i in range(cs.num_instance)]
+        + [asg.advice[i] for i in range(cs.num_advice)],
+        axis=1,
+    )  # (16, B, n)
+    coeff_stack = dom.lagrange_to_coeff(stack)
     for i in range(cs.num_instance):
         lag[("instance", i)] = asg.instance[i]
-        coeff[("instance", i)] = dom.lagrange_to_coeff(asg.instance[i])
+        coeff[("instance", i)] = coeff_stack[:, i]
     for i in range(cs.num_advice):
         lag[("advice", i)] = asg.advice[i]
-        coeff[("advice", i)] = dom.lagrange_to_coeff(asg.advice[i])
+        coeff[("advice", i)] = coeff_stack[:, cs.num_instance + i]
 
-    # 1. bind vk + instances + advice
+    # 1. bind vk + instances + advice (one fused batched MSM)
     pk.vk.absorb_into(tw)
+    all_comms = commit_many(
+        srs, [coeff_stack[:, i] for i in range(coeff_stack.shape[1])]
+    )
     for i in range(cs.num_instance):
-        tw.common_point(commit(srs, coeff[("instance", i)]))
+        tw.common_point(all_comms[i])
     for i in range(cs.num_advice):
-        tw.write_point(commit(srs, coeff[("advice", i)]))
+        tw.write_point(all_comms[cs.num_instance + i])
 
     # 2. lookups: compress, permute, commit A'/S'
     theta = tw.challenge()
@@ -150,24 +177,33 @@ def create_proof(
         return lag[(kind, index)]
 
     lookup_data = []
+    permuted = []
     for li, lk in enumerate(cs.lookups):
         cache: dict = {}
         in_vals = _eval_exprs_on(lk.inputs, col_lag, n, 1, cache)
         tb_vals = _eval_exprs_on(lk.tables, col_lag, n, 1, cache)
         a_lag = _compress(in_vals, theta)
         s_lag = _compress(tb_vals, theta)
-        a_ints = FP.decode(a_lag)
-        s_ints = FP.decode(s_lag)
-        ap_ints, sp_ints = permute_lookup(a_ints, s_ints)
+        lookup_data.append((a_lag, s_lag))
+    for li, (a_lag, s_lag) in enumerate(lookup_data):
+        ap_ints, sp_ints = permute_lookup(FP.decode(a_lag), FP.decode(s_lag))
         ap_lag = jnp.asarray(_mont_table(FP, ap_ints))
         sp_lag = jnp.asarray(_mont_table(FP, sp_ints))
         lag[("la", li)] = ap_lag
         lag[("ls", li)] = sp_lag
-        coeff[("la", li)] = dom.lagrange_to_coeff(ap_lag)
-        coeff[("ls", li)] = dom.lagrange_to_coeff(sp_lag)
-        tw.write_point(commit(srs, coeff[("la", li)]))
-        tw.write_point(commit(srs, coeff[("ls", li)]))
-        lookup_data.append((a_lag, s_lag))
+        permuted.append(ap_lag)
+        permuted.append(sp_lag)
+    if permuted:
+        perm_stack = jnp.stack(permuted, axis=1)
+        perm_coeff = dom.lagrange_to_coeff(perm_stack)
+        perm_comms = commit_many(
+            srs, [perm_coeff[:, i] for i in range(perm_coeff.shape[1])]
+        )
+        for li in range(len(cs.lookups)):
+            coeff[("la", li)] = perm_coeff[:, 2 * li]
+            coeff[("ls", li)] = perm_coeff[:, 2 * li + 1]
+            tw.write_point(perm_comms[2 * li])
+            tw.write_point(perm_comms[2 * li + 1])
 
     beta = tw.challenge()
     gamma = tw.challenge()
@@ -193,16 +229,33 @@ def create_proof(
         coeff[("zperm",)] = dom.lagrange_to_coeff(zperm)
         tw.write_point(commit(srs, coeff[("zperm",)]))
 
-    # 4. lookup grand products
-    for li, (a_lag, s_lag) in enumerate(lookup_data):
-        num = FP.mul(FP.add(a_lag, beta_d), FP.add(s_lag, gamma_d))
-        den = FP.mul(
-            FP.add(lag[("la", li)], beta_d), FP.add(lag[("ls", li)], gamma_d)
+    # 4. lookup grand products (batched across lookups: one scan + one
+    # Fermat inversion for all Z polys)
+    if lookup_data:
+        nums = jnp.stack(
+            [
+                FP.mul(FP.add(a_lag, beta_d), FP.add(s_lag, gamma_d))
+                for a_lag, s_lag in lookup_data
+            ],
+            axis=1,
         )
-        zlk = _grand_product(num, den)
-        lag[("lz", li)] = zlk
-        coeff[("lz", li)] = dom.lagrange_to_coeff(zlk)
-        tw.write_point(commit(srs, coeff[("lz", li)]))
+        dens = jnp.stack(
+            [
+                FP.mul(
+                    FP.add(lag[("la", li)], beta_d),
+                    FP.add(lag[("ls", li)], gamma_d),
+                )
+                for li in range(len(cs.lookups))
+            ],
+            axis=1,
+        )
+        zs = _grand_product_batched(nums, dens)
+        z_coeff = dom.lagrange_to_coeff(zs)
+        z_comms = commit_many(srs, [z_coeff[:, i] for i in range(z_coeff.shape[1])])
+        for li in range(len(cs.lookups)):
+            lag[("lz", li)] = zs[:, li]
+            coeff[("lz", li)] = z_coeff[:, li]
+            tw.write_point(z_comms[li])
 
     y = tw.challenge()
 
@@ -275,10 +328,13 @@ def create_proof(
     q_ext = dom.divide_by_vanishing(acc)
     q_coeff_full = dom.extended_to_coeff(q_ext)
     n_chunks = dom.n_ext // n
+    q_chunks = q_coeff_full.reshape(16, n_chunks, n)
+    q_lag = dom.coeff_to_lagrange(q_chunks)
+    q_comms = commit_many(srs, [q_chunks[:, c] for c in range(n_chunks)])
     for c in range(n_chunks):
-        coeff[("q", c)] = q_coeff_full[:, c * n : (c + 1) * n]
-        lag[("q", c)] = dom.coeff_to_lagrange(coeff[("q", c)])
-        tw.write_point(commit(srs, coeff[("q", c)]))
+        coeff[("q", c)] = q_chunks[:, c]
+        lag[("q", c)] = q_lag[:, c]
+        tw.write_point(q_comms[c])
 
     x = tw.challenge()
 
@@ -291,13 +347,20 @@ def create_proof(
         1: x * omega % P,
         -1: x * pow(omega, P - 2, P) % P,
     }
+    # batched evaluation: one fused eval per distinct point
+    by_rot: dict[int, list] = {}
     for slot in slots:
-        z = points[slot.rotation]
-        zd = FP.encode([z])[:, 0]
-        val = FP.decode(eval_poly(FP, coeff[slot.pid], zd)[:, None])[0]
-        evals[(slot.pid, slot.rotation)] = val
+        by_rot.setdefault(slot.rotation, []).append(slot)
+    for rot, group in by_rot.items():
+        zd = FP.encode([points[rot]])[:, 0]
+        stack_c = jnp.stack([coeff[s.pid] for s in group], axis=1)
+        vals_dev = eval_poly(FP, stack_c, zd)  # (16, B)
+        vals = FP.decode(vals_dev)
+        for s, val in zip(group, vals):
+            evals[(s.pid, s.rotation)] = val
+    for slot in slots:
         if slot.opened:
-            tw.write_scalar(val)
+            tw.write_scalar(evals[(slot.pid, slot.rotation)])
 
     # 7. multiopen (BDFG batch opening, one IPA)
     multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals)
@@ -315,18 +378,18 @@ def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals):
     p_group = []  # (rot, P_lag, P_coeff, r_value)
     for rot in rot_order:
         group = [s for s in slots if s.opened and s.rotation == rot]
-        p_lag = None
-        p_coeff = None
-        r_val = 0
+        weights = []
         vi = 1
+        r_val = 0
         for s in group:
-            wd = _scalar(vi)
-            term_l = FP.mul(wd, lag[s.pid])
-            term_c = FP.mul(wd, coeff[s.pid])
-            p_lag = term_l if p_lag is None else FP.add(p_lag, term_l)
-            p_coeff = term_c if p_coeff is None else FP.add(p_coeff, term_c)
+            weights.append(vi)
             r_val = (r_val + vi * evals[(s.pid, rot)]) % P
             vi = vi * v % P
+        w_dev = FP.encode(weights)[:, :, None]  # (16, B, 1)
+        lag_stack = jnp.stack([lag[s.pid] for s in group], axis=1)
+        coeff_stack = jnp.stack([coeff[s.pid] for s in group], axis=1)
+        p_lag = tree_sum(FP, FP.mul(lag_stack, w_dev), axis=1)
+        p_coeff = tree_sum(FP, FP.mul(coeff_stack, w_dev), axis=1)
         p_group.append((rot, p_lag, p_coeff, r_val))
 
     uj = 1

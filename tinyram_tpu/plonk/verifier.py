@@ -70,9 +70,15 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
         else:
             inst_lag.append(jnp.asarray(inst))
     assert len(inst_lag) == cs.num_instance
-    inst_coeff = [dom.lagrange_to_coeff(v) for v in inst_lag]
-    for c in inst_coeff:
-        tr.common_point(commit(srs, c))
+    if inst_lag:
+        inst_stack = dom.lagrange_to_coeff(jnp.stack(inst_lag, axis=1))
+        inst_coeff = [inst_stack[:, i] for i in range(len(inst_lag))]
+        from ..ipa.ipa import commit_many
+
+        for c in commit_many(srs, inst_coeff):
+            tr.common_point(c)
+    else:
+        inst_coeff = []
 
     advice_comms = [tr.read_point() for _ in range(cs.num_advice)]
     theta = tr.challenge()

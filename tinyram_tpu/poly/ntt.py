@@ -151,10 +151,11 @@ def coeff_scale(field: Field, a: jnp.ndarray, g: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=0)
 def eval_poly(field: Field, coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate a (16, n) coefficient vector at device scalar x (16,)."""
+    """Evaluate (16, ..., n) coefficient vectors at device scalar x (16,)."""
     n = coeffs.shape[-1]
     m = 1 << (n - 1).bit_length() if n > 1 else 1
     pw = powers_device(field, x, max(m, 1))[:, :n]
+    pw = pw.reshape((coeffs.shape[0],) + (1,) * (coeffs.ndim - 2) + (n,))
     prods = field.mul(coeffs, pw)
     return tree_sum(field, prods)
 
