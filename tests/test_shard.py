@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+Sharded kernels must agree exactly with their single-chip counterparts
+(SURVEY.md §4: "multi-chip tests that compare sharded vs single-chip
+kernel outputs exactly").
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from tinyram_tpu.curve import PointBatch, from_affine_host, host, to_affine_host
+from tinyram_tpu.curve.msm import msm
+from tinyram_tpu.field import FP
+from tinyram_tpu.poly import ntt
+from tinyram_tpu.shard import make_mesh, msm_sharded, ntt_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("log_n", [6, 8])
+def test_ntt_sharded_matches_single(mesh, log_n):
+    rng = random.Random(100 + log_n)
+    n = 1 << log_n
+    vals = [rng.randrange(FP.modulus) for _ in range(n)]
+    a = FP.encode(vals)
+    want = FP.decode(ntt(FP, a))
+    got = FP.decode(ntt_sharded(mesh, a))
+    assert got == want
+
+
+def test_intt_sharded_roundtrip(mesh):
+    rng = random.Random(200)
+    n = 256
+    vals = [rng.randrange(FP.modulus) for _ in range(n)]
+    a = FP.encode(vals)
+    back = FP.decode(ntt_sharded(mesh, ntt_sharded(mesh, a), inverse=True))
+    assert back == vals
+
+
+def test_msm_sharded_matches_single(mesh):
+    from tests.test_curve import gen_points
+
+    n = 32
+    pts = gen_points(n, seed=300)
+    rng = random.Random(301)
+    scalars = [rng.randrange(FP.modulus) for _ in range(n)]
+    sc = FP.encode(scalars, to_mont=False)
+    pb = from_affine_host(pts)
+    want = to_affine_host(
+        PointBatch(*[c[:, None] for c in msm(sc, pb)])
+    )[0]
+    got_pb = msm_sharded(mesh, sc, pb)
+    got = to_affine_host(PointBatch(*[c[:, None] for c in got_pb]))[0]
+    assert got == want
