@@ -1,0 +1,89 @@
+"""Headline benchmark: MSM points/s + NTT elems/s + modmul/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": "msm_points_per_s", "value": N, "unit": "points/s",
+   "vs_baseline": 1.0, "extra": {...}}
+
+The reference publishes no numbers (BASELINE.md: `published: {}`), so
+vs_baseline is reported as 1.0 against our own first recorded round.
+
+Axon quirk: `block_until_ready` does not actually block on this tunnel
+(see memory: axon-tpu-pitfalls), so every timing fetches a device slice.
+Sizes ramp gradually to avoid enqueueing unmeasured work.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+
+    return np.asarray(jax.device_get(x if x.ndim == 0 else x.ravel()[:2]))
+
+
+def _time(fn, *args, iters=3):
+    out = fn(*args)
+    _sync(out if not isinstance(out, tuple) else out[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out if not isinstance(out, tuple) else out[0])
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+
+    from tinyram_tpu.field import FP
+    from tinyram_tpu.poly import ntt
+
+    extra = {"device": str(jax.devices()[0])}
+
+    # --- batched modular multiply throughput
+    n_mod = 1 << int(os.environ.get("BENCH_LOG_MODMUL", "18"))
+    rng = np.random.default_rng(1)
+    limbs = rng.integers(0, 1 << 16, size=(2, 16, n_mod)).astype(np.uint32)
+    limbs[:, 15] &= 0x3FFF
+    a, b = jax.device_put(limbs[0]), jax.device_put(limbs[1])
+    dt = _time(FP.mul, a, b)
+    extra["modmul_per_s"] = round(n_mod / dt)
+
+    # --- NTT throughput
+    n_ntt = 1 << int(os.environ.get("BENCH_LOG_NTT", "16"))
+    c = jax.device_put(limbs[0][:, :n_ntt])
+    dt = _time(lambda x: ntt(FP, x), c)
+    extra["ntt_elems_per_s"] = round(n_ntt / dt)
+    extra["ntt_size"] = n_ntt
+
+    # --- MSM throughput
+    from tinyram_tpu.curve import PointBatch, from_affine_host
+    from tinyram_tpu.curve.msm import msm
+    from tinyram_tpu.ipa.srs import setup
+
+    log_msm = int(os.environ.get("BENCH_LOG_MSM", "12"))
+    srs = setup(log_msm)
+    n_msm = 1 << log_msm
+    sc_limbs = rng.integers(0, 1 << 16, size=(16, n_msm)).astype(np.uint32)
+    sc_limbs[15] &= 0x3FFF
+    sc = jax.device_put(sc_limbs)
+    pts = srs.g
+    dt = _time(lambda s: msm(s, pts).x, sc, iters=2)
+    msm_rate = round(n_msm / dt)
+    extra["msm_size"] = n_msm
+
+    print(json.dumps({
+        "metric": "msm_points_per_s",
+        "value": msm_rate,
+        "unit": "points/s",
+        "vs_baseline": 1.0,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
