@@ -13,6 +13,7 @@ Sizes ramp gradually to avoid enqueueing unmeasured work.
 """
 
 import json
+import subprocess
 import os
 import sys
 import time
@@ -37,6 +38,11 @@ def _time(fn, *args, iters=3):
 
 
 def main():
+    try:  # see tests/conftest.py: LLVM JIT mmap exhaustion otherwise
+        subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
+                       check=False, capture_output=True)
+    except Exception:
+        pass
     import jax
 
     from tinyram_tpu.field import FP

@@ -12,6 +12,19 @@ the single shared TPU chip.
 """
 
 import os
+import subprocess
+
+# XLA's LLVM JIT creates several mmaps per compiled program; the prover
+# compiles hundreds of programs and the default vm.max_map_count=65530
+# exhausts, surfacing as "LLVM compilation error: Cannot allocate memory"
+# followed by a segfault.  Raise it (best effort — needs root).
+try:
+    subprocess.run(
+        ["sysctl", "-w", "vm.max_map_count=4000000"],
+        check=False, capture_output=True,
+    )
+except Exception:
+    pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -72,10 +72,33 @@ def window_bucket_sums(digits: jnp.ndarray, points: PointBatch) -> PointBatch:
     starts = jnp.concatenate(
         [jnp.ones((1,), jnp.uint32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.uint32)]
     )[None, :]  # (1, n): all scan leaves rank-2 with the scan axis last
-    flags, sx, sy, sz = jax.lax.associative_scan(
-        _seg_combine, (starts, px, py, pz), axis=-1
-    )
-    del flags
+    if n <= 1024:
+        # sequential scan: `associative_scan` unrolls ~2n complete-adds into
+        # the graph (minutes of XLA compile); a lax.scan body is one add and
+        # compiles instantly.  Runtime is n serial steps — fine at test
+        # sizes, while big-N MSMs take the log-depth path below.
+        def step(carry, inp):
+            flag, x, y, z = inp
+            cur = PointBatch(x, y, z)
+            summed = vesta.add(carry, cur)
+            out = vesta.select(flag.astype(bool)[0], cur, summed)
+            return out, out
+
+        inputs = (
+            jnp.moveaxis(starts, -1, 0),
+            jnp.moveaxis(px, -1, 0),
+            jnp.moveaxis(py, -1, 0),
+            jnp.moveaxis(pz, -1, 0),
+        )
+        _, outs = jax.lax.scan(step, vesta.identity(()), inputs)
+        sx = jnp.moveaxis(outs.x, 0, -1)
+        sy = jnp.moveaxis(outs.y, 0, -1)
+        sz = jnp.moveaxis(outs.z, 0, -1)
+    else:
+        flags, sx, sy, sz = jax.lax.associative_scan(
+            _seg_combine, (starts, px, py, pz), axis=-1
+        )
+        del flags
     ends = jnp.concatenate(
         [(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)]
     )

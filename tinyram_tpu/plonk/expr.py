@@ -170,3 +170,70 @@ def queried_vars(exprs) -> set[Var]:
     for e in exprs:
         walk(e)
     return out
+
+
+# ---------------------------------------------------------------- batching
+
+
+def _skeleton(e: Expr, vars_out: list):
+    """Structural key of an expression; Var nodes become slot indices.
+
+    Distinct Var occurrences (by first-visit order of distinct Var values)
+    become slots; constants stay in the key so only truly identical
+    structures batch together.
+    """
+    if isinstance(e, Const):
+        return ("c", e.value)
+    if isinstance(e, Var):
+        try:
+            idx = vars_out.index(e)
+        except ValueError:
+            idx = len(vars_out)
+            vars_out.append(e)
+        return ("v", idx, e.rotation)
+    if isinstance(e, Sum):
+        return ("+", _skeleton(e.a, vars_out), _skeleton(e.b, vars_out))
+    if isinstance(e, Product):
+        return ("*", _skeleton(e.a, vars_out), _skeleton(e.b, vars_out))
+    if isinstance(e, Neg):
+        return ("-", _skeleton(e.a, vars_out))
+    raise TypeError(type(e))
+
+
+def batched_evaluate(exprs, *, slot_value, const, add, mul, neg, stack):
+    """Evaluate many expressions, batching structurally identical ones.
+
+    ``slot_value(var) -> value`` resolves one Var; ``stack(values) -> batch``
+    combines B same-slot values; arithmetic callbacks must broadcast over
+    the stacked batch axis.  Returns a list of per-expression results, where
+    each result is ``(group_result, index_in_group, group_size)`` — callers
+    slice out their lane.
+    """
+    groups: dict = {}
+    order = []
+    for ei, e in enumerate(exprs):
+        vars_list: list = []
+        key = _skeleton(e, vars_list)
+        groups.setdefault(key, []).append((ei, e, vars_list))
+        order.append(key)
+
+    results: dict[int, tuple] = {}
+    for key, members in groups.items():
+        _, e0, vars0 = members[0]
+        n_slots = len(vars0)
+        slot_stacks = []
+        for s in range(n_slots):
+            slot_stacks.append(stack([slot_value(m[2][s]) for m in members]))
+
+        def var_cb(kind, index, rotation, _e0vars=vars0, _stacks=slot_stacks):
+            from .expr import Var as _V
+
+            v = _V(kind, index, rotation)
+            return _stacks[_e0vars.index(v)]
+
+        out = evaluate(
+            e0, var=var_cb, const=const, add=add, mul=mul, neg=neg
+        )
+        for gi, (ei, _, _) in enumerate(members):
+            results[ei] = (out, gi, len(members))
+    return [results[i] for i in range(len(exprs))]

@@ -103,20 +103,27 @@ def keygen(
     extended_k = k + cs.extension_factor_log2()
     domain = Domain(FP, k, extended_k)
 
+    from ..ipa.ipa import commit_many
+
     fixed_lag = []
     for i in range(cs.num_fixed):
         v = fixed_assignment.fixed[i]
         fixed_lag.append(v if v is not None else FP.zeros((n,)))
-    fixed_coeff = [domain.lagrange_to_coeff(v) for v in fixed_lag]
-    fixed_commitments = [commit(srs, c) for c in fixed_coeff]
-
     perm_cols, sigma_tables = build_permutation_sigmas(cs, n)
     sigma_lag = [
         jnp.asarray(_mont_table(FP, [int(v) for v in tbl]))
         for tbl in sigma_tables
     ]
-    sigma_coeff = [domain.lagrange_to_coeff(v) for v in sigma_lag]
-    sigma_commitments = [commit(srs, c) for c in sigma_coeff]
+    all_lag = jnp.stack(fixed_lag + sigma_lag, axis=1)
+    all_coeff = domain.lagrange_to_coeff(all_lag)
+    all_comms = commit_many(
+        srs, [all_coeff[:, i] for i in range(all_coeff.shape[1])]
+    )
+    nf = len(fixed_lag)
+    fixed_coeff = [all_coeff[:, i] for i in range(nf)]
+    fixed_commitments = all_comms[:nf]
+    sigma_coeff = [all_coeff[:, nf + j] for j in range(len(sigma_lag))]
+    sigma_commitments = all_comms[nf:]
 
     vk = VerifyingKey(
         cs=cs,

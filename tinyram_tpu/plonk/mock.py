@@ -37,35 +37,30 @@ def _rolled(arr: jnp.ndarray, rotation: int) -> jnp.ndarray:
     return jnp.roll(arr, -rotation, axis=-1)
 
 
-def _eval_expr_lagrange(expr, asg: Assignment, cache: dict):
-    n = asg.n
+def _eval_exprs_lagrange(exprs, asg: Assignment, cache: dict | None = None):
+    """Batched lagrange-domain evaluation (see prover._eval_exprs_on)."""
+    from .prover import _eval_exprs_on
 
-    def var(kind, index, rotation):
+    def get_col(kind, index):
         base = getattr(asg, kind)[index]
         assert base is not None, f"unassigned {kind}[{index}]"
-        return _rolled(base, rotation)
+        return base
 
-    def const(v):
-        c = FP.const(v, 1)
-        return jnp.broadcast_to(c, (16, n))
+    return _eval_exprs_on(exprs, get_col, asg.n, 1, cache)
 
-    return evaluate(
-        expr,
-        var=var,
-        const=const,
-        add=FP.add,
-        mul=FP.mul,
-        neg=FP.neg,
-        _cache=cache,
-    )
+
+def _eval_expr_lagrange(expr, asg: Assignment, cache: dict):
+    return _eval_exprs_lagrange([expr], asg, cache)[0]
 
 
 def eval_gates_lagrange(cs: ConstraintSystem, asg: Assignment):
-    """Evaluate each gate poly over all rows; yields (gate, poly_idx, evals)."""
-    for g in cs.gates:
-        cache: dict = {}
-        for pi, poly in enumerate(g.polys):
-            yield g, pi, _eval_expr_lagrange(poly, asg, cache)
+    """Evaluate every gate poly over all rows; yields (gate, poly_idx, evals)."""
+    tagged = [
+        (g, pi, poly) for g in cs.gates for pi, poly in enumerate(g.polys)
+    ]
+    outs = _eval_exprs_lagrange([t[2] for t in tagged], asg)
+    for (g, pi, _), out in zip(tagged, outs):
+        yield g, pi, out
 
 
 class MockProver:

@@ -31,6 +31,17 @@ from .protocol import eval_schedule, multiopen_point_order, queried_column_rotat
 
 P = FP.modulus
 
+import os as _os
+import time as _time
+
+_PROFILE = bool(_os.environ.get("TINYRAM_PROFILE"))
+
+
+def _phase(name, t0):
+    if _PROFILE:
+        print(f"[prover] {name}: {_time.time() - t0:.1f}s", flush=True)
+    return _time.time()
+
 
 # --------------------------------------------------------------------- utils
 
@@ -79,21 +90,34 @@ def _rolled(arr: jnp.ndarray, rotation: int, scale: int = 1) -> jnp.ndarray:
 def _eval_exprs_on(
     exprs, get_col, n: int, scale: int = 1, cache: dict | None = None
 ):
-    """Evaluate expression list over device arrays with rotation rolls."""
-    cache = {} if cache is None else cache
+    """Evaluate expressions over device column arrays with rotation rolls.
 
-    def var(kind, index, rotation):
-        return _rolled(get_col(kind, index), rotation, scale)
+    Structurally identical expressions (e.g. the ~300 temp-var routing
+    gates, or a 97-column dynamic-lookup tuple) are evaluated ONCE over
+    stacked columns — without this, eager per-op dispatch dominates the
+    whole prover.
+    """
+    from .expr import batched_evaluate
+
+    roll_cache = {} if cache is None else cache
+
+    def slot_value(v):
+        key = (v.kind, v.index, v.rotation)
+        if key not in roll_cache:
+            roll_cache[key] = _rolled(get_col(v.kind, v.index), v.rotation, scale)
+        return roll_cache[key]
+
+    def stack(vals):
+        return jnp.stack(vals, axis=1)  # (16, B, n)
 
     def const(v):
-        return jnp.broadcast_to(FP.const(v, 1), (16, n))
+        return FP.const(v, 2)  # (16, 1, 1), broadcasts over (16, B, n)
 
-    return [
-        evaluate(
-            e, var=var, const=const, add=FP.add, mul=FP.mul, neg=FP.neg, _cache=cache
-        )
-        for e in exprs
-    ]
+    outs = batched_evaluate(
+        exprs, slot_value=slot_value, const=const,
+        add=FP.add, mul=FP.mul, neg=FP.neg, stack=stack,
+    )
+    return [res[:, gi] for (res, gi, _) in outs]
 
 
 def _compress(vals: list[jnp.ndarray], theta: int) -> jnp.ndarray:
@@ -160,6 +184,7 @@ def create_proof(
         lag[("advice", i)] = asg.advice[i]
         coeff[("advice", i)] = coeff_stack[:, cs.num_instance + i]
 
+    t0 = _time.time()
     # 1. bind vk + instances + advice (one fused batched MSM)
     pk.vk.absorb_into(tw)
     all_comms = commit_many(
@@ -170,6 +195,7 @@ def create_proof(
     for i in range(cs.num_advice):
         tw.write_point(all_comms[cs.num_instance + i])
 
+    t0 = _phase("commit instance+advice", t0)
     # 2. lookups: compress, permute, commit A'/S'
     theta = tw.challenge()
 
@@ -205,6 +231,7 @@ def create_proof(
             tw.write_point(perm_comms[2 * li])
             tw.write_point(perm_comms[2 * li + 1])
 
+    t0 = _phase("lookup permute+commit", t0)
     beta = tw.challenge()
     gamma = tw.challenge()
     beta_d, gamma_d = _scalar(beta), _scalar(gamma)
@@ -257,6 +284,7 @@ def create_proof(
             coeff[("lz", li)] = z_coeff[:, li]
             tw.write_point(z_comms[li])
 
+    t0 = _phase("grand products", t0)
     y = tw.challenge()
 
     # 5. quotient: evaluate every constraint on the extended coset
@@ -320,11 +348,15 @@ def create_proof(
         constraints.append(FP.mul(l0_ext, FP.sub(ap, sp)))
         constraints.append(FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
 
-    y_d = _scalar(y)
-    acc = constraints[0]
-    for c in constraints[1:]:
-        acc = FP.add(FP.mul(acc, y_d), c)
+    # fold constraints with y powers in one weighted tree-sum
+    K = len(constraints)
+    y_weights = FP.encode([pow(y, K - 1 - i, P) for i in range(K)])[:, :, None]
+    c_stack = jnp.stack(
+        [jnp.broadcast_to(c, (16, dom.n_ext)) for c in constraints], axis=1
+    )
+    acc = tree_sum(FP, FP.mul(c_stack, y_weights), axis=1)
 
+    t0 = _phase("constraint ext eval", t0)
     q_ext = dom.divide_by_vanishing(acc)
     q_coeff_full = dom.extended_to_coeff(q_ext)
     n_chunks = dom.n_ext // n
@@ -336,6 +368,7 @@ def create_proof(
         lag[("q", c)] = q_lag[:, c]
         tw.write_point(q_comms[c])
 
+    t0 = _phase("quotient+commit", t0)
     x = tw.challenge()
 
     # 6. evaluations
@@ -362,8 +395,10 @@ def create_proof(
         if slot.opened:
             tw.write_scalar(evals[(slot.pid, slot.rotation)])
 
+    t0 = _phase("evaluations", t0)
     # 7. multiopen (BDFG batch opening, one IPA)
     multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals)
+    _phase("multiopen+ipa", t0)
     return tw.finalize()
 
 
