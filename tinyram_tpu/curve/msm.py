@@ -45,14 +45,37 @@ def scalar_digits(scalars_plain: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=1).reshape(2 * N_LIMBS, -1)
 
 
-def _seg_combine(a, b):
-    """Segmented-scan operator; flag marks 'starts a new segment'."""
-    a_flag, ax, ay, az = a
-    b_flag, bx, by, bz = b
-    summed = vesta.add(PointBatch(ax, ay, az), PointBatch(bx, by, bz))
-    keep_b = b_flag[0].astype(bool)  # flag is (1, n)
-    out = vesta.select(keep_b, PointBatch(bx, by, bz), summed)
-    return (a_flag | b_flag, out.x, out.y, out.z)
+def _shift_right(arr: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
+    """arr[i-d] along the last axis, first d lanes filled from `fill`."""
+    return jnp.concatenate([fill[..., :d], arr[..., :-d]], axis=-1)
+
+
+def _segmented_sums(d_sorted: jnp.ndarray, pts: PointBatch) -> PointBatch:
+    """Inclusive segmented prefix point-sums over digit-sorted lanes.
+
+    Hillis–Steele distance doubling: log2(n) rounds, each one full-width
+    complete add + select.  (An `associative_scan` with the 3k-op point-add
+    combiner unrolls ~2n bodies — minutes of XLA compile; a `lax.scan` is
+    serial — ~ms per step through this stack.  log-depth × full-width is
+    the TPU-shaped middle.)  Segment *ends* hold the full segment sums.
+    """
+    n = d_sorted.shape[-1]
+    ident = vesta.identity((n,))
+    x = pts
+    d = 1
+    while d < n:
+        same = jnp.concatenate(
+            [jnp.zeros((d,), bool), d_sorted[d:] == d_sorted[:-d]]
+        )
+        shifted = PointBatch(
+            _shift_right(x.x, d, ident.x),
+            _shift_right(x.y, d, ident.y),
+            _shift_right(x.z, d, ident.z),
+        )
+        summed = vesta.add(x, shifted)
+        x = vesta.select(same, summed, x)
+        d *= 2
+    return x
 
 
 @jax.jit
@@ -69,36 +92,8 @@ def window_bucket_sums(digits: jnp.ndarray, points: PointBatch) -> PointBatch:
     py = jnp.take(points.y, order, axis=-1)
     pz = jnp.take(points.z, order, axis=-1)
 
-    starts = jnp.concatenate(
-        [jnp.ones((1,), jnp.uint32), (d_sorted[1:] != d_sorted[:-1]).astype(jnp.uint32)]
-    )[None, :]  # (1, n): all scan leaves rank-2 with the scan axis last
-    if n <= 1024:
-        # sequential scan: `associative_scan` unrolls ~2n complete-adds into
-        # the graph (minutes of XLA compile); a lax.scan body is one add and
-        # compiles instantly.  Runtime is n serial steps — fine at test
-        # sizes, while big-N MSMs take the log-depth path below.
-        def step(carry, inp):
-            flag, x, y, z = inp
-            cur = PointBatch(x, y, z)
-            summed = vesta.add(carry, cur)
-            out = vesta.select(flag.astype(bool)[0], cur, summed)
-            return out, out
-
-        inputs = (
-            jnp.moveaxis(starts, -1, 0),
-            jnp.moveaxis(px, -1, 0),
-            jnp.moveaxis(py, -1, 0),
-            jnp.moveaxis(pz, -1, 0),
-        )
-        _, outs = jax.lax.scan(step, vesta.identity(()), inputs)
-        sx = jnp.moveaxis(outs.x, 0, -1)
-        sy = jnp.moveaxis(outs.y, 0, -1)
-        sz = jnp.moveaxis(outs.z, 0, -1)
-    else:
-        flags, sx, sy, sz = jax.lax.associative_scan(
-            _seg_combine, (starts, px, py, pz), axis=-1
-        )
-        del flags
+    sums = _segmented_sums(d_sorted, PointBatch(px, py, pz))
+    sx, sy, sz = sums.x, sums.y, sums.z
     ends = jnp.concatenate(
         [(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)]
     )
@@ -118,29 +113,47 @@ def window_bucket_sums(digits: jnp.ndarray, points: PointBatch) -> PointBatch:
 
 @jax.jit
 def _weighted_bucket_reduce(buckets: PointBatch) -> PointBatch:
-    """Σ_{d=1}^{255} d · B_d for all windows at once.
+    """Σ_{d=1}^{255} d · B_d for all windows at once (log-depth).
 
-    buckets: PointBatch with batch shape (n_windows, 257).
-    Returns PointBatch with batch shape (n_windows,).
+    Σ d·B_d = Σ_{d≥1} S_d with S_d = Σ_{e≥d} B_e: an 8-round suffix
+    point-sum over the bucket axis followed by an 8-round pairwise tree
+    reduction — 16 full-width adds instead of 510 serial ones.
+
+    buckets: PointBatch with batch shape (n_windows, 257) (bucket 256 is
+    the spill bucket and is excluded).  Returns batch (n_windows,).
     """
     nw = buckets.x.shape[1]
-    acc0 = vesta.identity((nw,))
-    tot0 = vesta.identity((nw,))
+    # drop spill bucket and bucket 0 (weight 0): work on buckets 1..255,
+    # padded to 256 lanes with identity at the END (suffix sums unaffected)
+    ident_col = vesta.identity((nw, 1))
 
-    def body(i, carry):
-        acc, tot = carry
-        d = 255 - i
-        bd = PointBatch(
-            jax.lax.dynamic_index_in_dim(buckets.x, d, axis=2, keepdims=False),
-            jax.lax.dynamic_index_in_dim(buckets.y, d, axis=2, keepdims=False),
-            jax.lax.dynamic_index_in_dim(buckets.z, d, axis=2, keepdims=False),
+    def prep(c, ic):
+        return jnp.concatenate([c[..., 1:256], ic], axis=-1)  # (16, nw, 256)
+
+    x = PointBatch(
+        prep(buckets.x, ident_col.x),
+        prep(buckets.y, ident_col.y),
+        prep(buckets.z, ident_col.z),
+    )
+    # suffix inclusive sums via distance doubling toward the left
+    d = 1
+    ident = vesta.identity((nw, 256))
+    while d < 256:
+        shifted = PointBatch(
+            jnp.concatenate([x.x[..., d:], ident.x[..., :d]], axis=-1),
+            jnp.concatenate([x.y[..., d:], ident.y[..., :d]], axis=-1),
+            jnp.concatenate([x.z[..., d:], ident.z[..., :d]], axis=-1),
         )
-        acc = vesta.add(acc, bd)
-        tot = vesta.add(tot, acc)
-        return (acc, tot)
-
-    _, tot = jax.lax.fori_loop(0, 255, body, (acc0, tot0))
-    return tot
+        x = vesta.add(x, shifted)
+        d *= 2
+    # now lane j holds S_{j+1} = Σ_{e ≥ j+1} B_e; total = Σ_j lane_j
+    while x.x.shape[-1] > 1:
+        h = x.x.shape[-1] // 2
+        x = vesta.add(
+            PointBatch(x.x[..., :h], x.y[..., :h], x.z[..., :h]),
+            PointBatch(x.x[..., h:], x.y[..., h:], x.z[..., h:]),
+        )
+    return PointBatch(x.x[..., 0], x.y[..., 0], x.z[..., 0])
 
 
 @jax.jit
