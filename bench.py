@@ -58,6 +58,14 @@ def main():
     a, b = jax.device_put(limbs[0]), jax.device_put(limbs[1])
     dt = _time(FP.mul, a, b)
     extra["modmul_per_s"] = round(n_mod / dt)
+    try:
+        from tinyram_tpu.field.pallas_mul import mul_pallas
+
+        dt = _time(mul_pallas, a, b)
+        extra["modmul_pallas_per_s"] = round(n_mod / dt)
+    except Exception as e:  # pallas unavailable on some backends
+        extra["modmul_pallas_per_s"] = f"error: {type(e).__name__}"
+
 
     # --- NTT throughput
     n_ntt = 1 << int(os.environ.get("BENCH_LOG_NTT", "16"))

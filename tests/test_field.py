@@ -96,3 +96,14 @@ def test_vmap_and_jit_compose(field):
     out = fn(a, b).reshape(16, 32)
     p = field.modulus
     assert field.decode(out) == [(x * y) % p for x, y in zip(xs, ys)]
+
+
+def test_pallas_mul_interpret_matches(field):
+    """Fused Pallas Montgomery kernel == jnp path (interpret mode on CPU)."""
+    from tinyram_tpu.field.pallas_mul import mul_pallas
+
+    xs = rand_ints(field, 256, seed=11)
+    ys = rand_ints(field, 256, seed=12)
+    a, b = field.encode(xs), field.encode(ys)
+    got = field.decode(mul_pallas(a, b, field=field, block=256, interpret=True))
+    assert got == [(x * y) % field.modulus for x, y in zip(xs, ys)]

@@ -77,7 +77,8 @@ class Field:
         self.sub = jax.jit(self.sub)
         self.neg = jax.jit(self.neg)
         self.double = jax.jit(self.double)
-        self.mul = jax.jit(self.mul)
+        self._mul_jnp = jax.jit(self.mul)
+        self.mul = jax.jit(self._mul_dispatch)
         self.square = jax.jit(self.square)
         self.inv = jax.jit(self.inv)
         self.to_mont = jax.jit(self.to_mont)
@@ -182,6 +183,35 @@ class Field:
             acc = acc.at[i + 1].add(acc[i] >> _SHIFT)
         out = self._carry(acc[N_LIMBS:])
         return self._cond_sub_p(out)
+
+    def _mul_dispatch(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Route eligible multiplies to the fused Pallas kernel.
+
+        Opt-in via TINYRAM_PALLAS=1 on TPU backends; requires identical
+        operand shapes (no broadcasting) with a lane count divisible by a
+        supported block.  Everything else takes the jnp path.
+        """
+        import os
+
+        if (
+            os.environ.get("TINYRAM_PALLAS")
+            and jax.default_backend() == "tpu"
+            and a.shape == b.shape
+            and a.ndim == 2  # higher ranks (NTT stage shapes) regress
+            and a.shape[1] >= 2048
+        ):
+            n = a.shape[1]
+            for blk in (512, 256, 128):
+                if n % blk == 0:
+                    from .pallas_mul import _mul_pallas
+
+                    return _mul_pallas(
+                        a, b, field_name=self.params.name, block=blk
+                    )
+        return self.mul_jnp(a, b)
+
+    def mul_jnp(self, a, b):
+        return self._mul_jnp(a, b)
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)

@@ -4,6 +4,9 @@ from .keygen import ProvingKey, VerifyingKey, keygen
 from .mock import MockProver
 from .prover import create_proof
 from .verifier import verify_proof
+from .batch import BatchVerifier
+from .layout import layout_dot, layout_summary
+from .serialize import load_pk, save_pk
 
 __all__ = [
     "Assignment",
@@ -18,4 +21,9 @@ __all__ = [
     "MockProver",
     "create_proof",
     "verify_proof",
+    "BatchVerifier",
+    "layout_dot",
+    "layout_summary",
+    "load_pk",
+    "save_pk",
 ]

@@ -1,0 +1,82 @@
+"""Scaling-efficiency harness: ops/s at 1 chip vs D chips.
+
+BASELINE.md: "MSM throughput … reported at 1 chip / 1 host / ≥2 hosts" and
+"≥80% MSM+NTT scaling efficiency host→pod".  On this box only one real TPU
+exists, so the harness runs on any mesh it is given (the test suite uses
+the 8-device virtual CPU mesh; on a pod the same code reports real ICI
+scaling).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..curve import PointBatch
+from ..field.jfield import FP
+from ..poly import ntt
+from .mesh import make_mesh
+from .msm import msm_sharded
+from .ntt import ntt_sharded
+
+
+def _sync(x):
+    return np.asarray(jax.device_get(x.ravel()[:2]))
+
+
+def _rate(fn, sync_out, iters=3):
+    out = fn()
+    _sync(sync_out(out))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    _sync(sync_out(out))
+    return iters / (time.time() - t0)
+
+
+def scaling_report(log_n_ntt: int = 12, log_n_msm: int = 10, device_counts=None):
+    """{"ntt": {D: elems/s}, "msm": {D: points/s}, "efficiency": {...}}."""
+    from ..curve import from_affine_host
+    from ..ipa.srs import setup
+
+    if device_counts is None:
+        nd = len(jax.devices())
+        device_counts = [d for d in (1, 2, 4, 8) if d <= nd]
+
+    n_ntt = 1 << log_n_ntt
+    rng = np.random.default_rng(0)
+    limbs = rng.integers(0, 1 << 16, size=(16, n_ntt)).astype(np.uint32)
+    limbs[15] &= 0x3FFF
+    a = jax.device_put(limbs)
+
+    srs = setup(log_n_msm)
+    n_msm = 1 << log_n_msm
+    sc = rng.integers(0, 1 << 16, size=(16, n_msm)).astype(np.uint32)
+    sc[15] &= 0x3FFF
+    scd = jax.device_put(sc)
+
+    report = {"ntt": {}, "msm": {}}
+    for d in device_counts:
+        mesh = make_mesh(d)
+        r = _rate(lambda: ntt_sharded(mesh, a), lambda o: o)
+        report["ntt"][d] = round(r * n_ntt)
+        r = _rate(lambda: msm_sharded(mesh, scd, srs.g), lambda o: o.x)
+        report["msm"][d] = round(r * n_msm)
+
+    base_d = device_counts[0]
+    report["efficiency"] = {
+        kind: {
+            d: round(report[kind][d] / (report[kind][base_d] * d / base_d), 3)
+            for d in device_counts
+        }
+        for kind in ("ntt", "msm")
+    }
+    return report
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(scaling_report(), indent=2))
