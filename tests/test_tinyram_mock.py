@@ -142,3 +142,34 @@ def test_wrong_answer_fails(circ8):
     asg.set(circ8.tcs.col.instance["answer"], bad["answer"])
     failures = MockProver(circ8.tcs.cs, asg).verify()
     assert any(f.name.startswith("answer_binding") for f in failures), failures
+
+
+def test_memory_forgery_caught(circ8):
+    """The Exe↔Mem link (our completion of the reference's unfinished memory
+    story) must reject a forged load value."""
+    import numpy as np
+
+    from tinyram_tpu.plonk import MockProver
+
+    prog = [
+        I("LoadW", ri=0, a=0),
+        I("StoreW", ri=0, a=8),
+        I("LoadW", ri=1, a=8),
+        I("Answer", areg=1),
+    ]
+    tr = eval_program(prog, 8, 8, primary_tape=[41])
+    asg = circ8.assignment(tr)
+    assert MockProver(circ8.tcs.cs, asg).verify() == []
+
+    # tamper the Mem table: the final load "returns" 99
+    from tinyram_tpu.field import FP
+
+    col = circ8.tcs.col.advice["m_value"]
+    vals = FP.decode(asg.get(col))
+    loads = FP.decode(asg.get(circ8.tcs.col.advice["m_load"]))
+    row = max(i for i, l in enumerate(loads) if l == 1)
+    vals[row] = 99
+    asg.set(col, np.array(vals, dtype=np.int64))
+    failures = MockProver(circ8.tcs.cs, asg).verify()
+    assert any(f.name in ("exe_mem", "mem_exe", "mem.table#3")
+               for f in failures), failures

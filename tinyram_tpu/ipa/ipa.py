@@ -49,14 +49,20 @@ from .srs import SRS
 P = FP.modulus
 
 
-def commit(srs: SRS, coeffs: jnp.ndarray) -> AffinePoint:
-    """Commit to a (16, m) Montgomery coefficient vector, m ≤ 2^k."""
+def commit(srs: SRS, coeffs: jnp.ndarray, blind: int = 0) -> AffinePoint:
+    """Commit to a (16, m) Montgomery coefficient vector, m ≤ 2^k.
+
+    ``blind`` adds blind·W (Pedersen term) for hiding commitments; 0 for
+    deterministic/public polynomials (fixed, sigma, instance)."""
     m = coeffs.shape[-1]
     assert m <= srs.n
     if m < srs.n:
         coeffs = jnp.concatenate([coeffs, FP.zeros((srs.n - m,))], axis=-1)
     plain = FP.from_mont(coeffs)
-    return to_affine_host(_single(msm(plain, srs.g)))[0]
+    base = to_affine_host(_single(msm(plain, srs.g)))[0]
+    if blind:
+        base = host.add(base, host.scalar_mul(blind % P, srs.w_host))
+    return base
 
 
 def _single(p: PointBatch) -> PointBatch:
@@ -83,13 +89,21 @@ def _fold_maps(k: int):
 
 
 def open_poly(
-    srs: SRS, tw: TranscriptWriter, coeffs: jnp.ndarray, x: int
+    srs: SRS, tw: TranscriptWriter, coeffs: jnp.ndarray, x: int,
+    blind: int = 0, rng=None,
 ) -> None:
-    """IPA opening proof for f(x); appends k (L,R) pairs and a₀ to ``tw``.
+    """IPA opening proof for f(x); appends k (L,R) pairs, a₀ and the
+    blinding sync scalar ξ to ``tw``.
 
-    ``coeffs``: (16, m) Montgomery form.  The caller is responsible for
-    having absorbed the commitment, x, and the claimed value v beforehand.
+    ``coeffs``: (16, m) Montgomery form; ``blind`` is the W-blind of the
+    commitment being opened.  Each round's L/R carries fresh blinds so the
+    proof is hiding; the final ξ collapses them for the verifier check.
+    The caller is responsible for having absorbed the commitment, x, and
+    the claimed value v beforehand.
     """
+    import secrets
+
+    rand = (lambda: secrets.randbelow(P)) if rng is None else rng
     k, n = srs.k, srs.n
     m = coeffs.shape[-1]
     if m < n:
@@ -121,12 +135,16 @@ def open_poly(
         sR = FP.decode(tree_sum(FP, FP.mul(a_hi, b_lo))[:, None])[0]
         L_base = to_affine_host(_single(msm(FP.from_mont(wL), srs.g)))[0]
         R_base = to_affine_host(_single(msm(FP.from_mont(wR), srs.g)))[0]
+        xi_l, xi_r = rand(), rand()
         L = host.add(L_base, host.scalar_mul(sL, u_base))
+        L = host.add(L, host.scalar_mul(xi_l, srs.w_host))
         R = host.add(R_base, host.scalar_mul(sR, u_base))
+        R = host.add(R, host.scalar_mul(xi_r, srs.w_host))
         tw.write_point(L)
         tw.write_point(R)
         u = tw.challenge()
         u_inv = pow(u, P - 2, P)
+        blind = (blind + u * u % P * xi_l + u_inv * u_inv % P * xi_r) % P
         ud = FP.const(u, a.ndim - 1)
         uid = FP.const(u_inv, a.ndim - 1)
         a = FP.add(FP.mul(ud, a_lo), FP.mul(uid, a_hi))
@@ -137,6 +155,7 @@ def open_poly(
 
     a0 = FP.decode(a[:, :1])[0]
     tw.write_scalar(a0)
+    tw.write_scalar(blind)  # ξ_final
 
 
 def verify_open(
@@ -157,6 +176,7 @@ def verify_open(
         lrs.append((L, R))
         us.append(u)
     a0 = tr.read_scalar()
+    xi_final = tr.read_scalar()
 
     # s vector: s = kron([u_0^{-1}, u_0], [u_1^{-1}, u_1], ...) — round 0
     # controls the most significant bit of the index.
@@ -190,6 +210,7 @@ def verify_open(
         host.scalar_mul(a0, g0),
         host.scalar_mul(a0 * b0 % P, srs.u_host),
     )
+    lhs = host.add(lhs, host.scalar_mul(xi_final, srs.w_host))
     rhs = host.add(commitment, host.scalar_mul(v % P, srs.u_host))
     for (L, R), u in zip(lrs, us):
         u_inv = pow(u, P - 2, P)
@@ -198,9 +219,10 @@ def verify_open(
     return lhs == rhs
 
 
-def commit_many(srs: SRS, coeff_list) -> list[AffinePoint]:
+def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
     """Commit to many (16, m) Montgomery coefficient vectors in one fused
-    batched-MSM pass (see curve.msm.msm_many)."""
+    batched-MSM pass (see curve.msm.msm_many).  ``blinds[i]`` adds a
+    blind·W hiding term per commitment."""
     from ..curve.msm import msm_many
 
     if not coeff_list:
@@ -216,4 +238,10 @@ def commit_many(srs: SRS, coeff_list) -> list[AffinePoint]:
     stack = jnp.stack(padded, axis=1)  # (16, B, n)
     plain = FP.from_mont(stack)
     pts = msm_many(plain, srs.g)
-    return to_affine_host(pts)
+    out = to_affine_host(pts)
+    if blinds is not None:
+        out = [
+            host.add(pt, host.scalar_mul(bl % P, srs.w_host)) if bl else pt
+            for pt, bl in zip(out, blinds)
+        ]
+    return out

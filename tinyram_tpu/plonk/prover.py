@@ -161,8 +161,15 @@ def create_proof(
     asg.finalize()
     tw = tw or TranscriptWriter()
 
+    import secrets
+
     lag: dict[tuple, jnp.ndarray] = {}
     coeff: dict[tuple, jnp.ndarray] = {}
+    blinds: dict[tuple, int] = {}  # W-blinds; 0 for public polys
+
+    def _blind(pid):
+        blinds[pid] = secrets.randbelow(P)
+        return blinds[pid]
 
     for i in range(cs.num_fixed):
         lag[("fixed", i)] = pk.fixed_lag[i]
@@ -188,7 +195,10 @@ def create_proof(
     # 1. bind vk + instances + advice (one fused batched MSM)
     pk.vk.absorb_into(tw)
     all_comms = commit_many(
-        srs, [coeff_stack[:, i] for i in range(coeff_stack.shape[1])]
+        srs,
+        [coeff_stack[:, i] for i in range(coeff_stack.shape[1])],
+        blinds=[0] * cs.num_instance
+        + [_blind(("advice", i)) for i in range(cs.num_advice)],
     )
     for i in range(cs.num_instance):
         tw.common_point(all_comms[i])
@@ -223,7 +233,12 @@ def create_proof(
         perm_stack = jnp.stack(permuted, axis=1)
         perm_coeff = dom.lagrange_to_coeff(perm_stack)
         perm_comms = commit_many(
-            srs, [perm_coeff[:, i] for i in range(perm_coeff.shape[1])]
+            srs,
+            [perm_coeff[:, i] for i in range(perm_coeff.shape[1])],
+            blinds=[
+                _blind(("la", i // 2) if i % 2 == 0 else ("ls", i // 2))
+                for i in range(perm_coeff.shape[1])
+            ],
         )
         for li in range(len(cs.lookups)):
             coeff[("la", li)] = perm_coeff[:, 2 * li]
@@ -254,7 +269,7 @@ def create_proof(
         zperm = _grand_product(num, den)
         lag[("zperm",)] = zperm
         coeff[("zperm",)] = dom.lagrange_to_coeff(zperm)
-        tw.write_point(commit(srs, coeff[("zperm",)]))
+        tw.write_point(commit(srs, coeff[("zperm",)], blind=_blind(("zperm",))))
 
     # 4. lookup grand products (batched across lookups: one scan + one
     # Fermat inversion for all Z polys)
@@ -278,7 +293,11 @@ def create_proof(
         )
         zs = _grand_product_batched(nums, dens)
         z_coeff = dom.lagrange_to_coeff(zs)
-        z_comms = commit_many(srs, [z_coeff[:, i] for i in range(z_coeff.shape[1])])
+        z_comms = commit_many(
+            srs,
+            [z_coeff[:, i] for i in range(z_coeff.shape[1])],
+            blinds=[_blind(("lz", i)) for i in range(z_coeff.shape[1])],
+        )
         for li in range(len(cs.lookups)):
             lag[("lz", li)] = zs[:, li]
             coeff[("lz", li)] = z_coeff[:, li]
@@ -362,7 +381,11 @@ def create_proof(
     n_chunks = dom.n_ext // n
     q_chunks = q_coeff_full.reshape(16, n_chunks, n)
     q_lag = dom.coeff_to_lagrange(q_chunks)
-    q_comms = commit_many(srs, [q_chunks[:, c] for c in range(n_chunks)])
+    q_comms = commit_many(
+        srs,
+        [q_chunks[:, c] for c in range(n_chunks)],
+        blinds=[_blind(("q", c)) for c in range(n_chunks)],
+    )
     for c in range(n_chunks):
         coeff[("q", c)] = q_chunks[:, c]
         lag[("q", c)] = q_lag[:, c]
@@ -397,12 +420,15 @@ def create_proof(
 
     t0 = _phase("evaluations", t0)
     # 7. multiopen (BDFG batch opening, one IPA)
-    multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals)
+    multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals, blinds)
     _phase("multiopen+ipa", t0)
     return tw.finalize()
 
 
-def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals):
+def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals, blinds=None):
+    import secrets
+
+    blinds = blinds or {}
     n = dom.n
     v = tw.challenge()
     u = tw.challenge()
@@ -425,10 +451,13 @@ def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals):
         coeff_stack = jnp.stack([coeff[s.pid] for s in group], axis=1)
         p_lag = tree_sum(FP, FP.mul(lag_stack, w_dev), axis=1)
         p_coeff = tree_sum(FP, FP.mul(coeff_stack, w_dev), axis=1)
-        p_group.append((rot, p_lag, p_coeff, r_val))
+        p_blind = sum(
+            w * blinds.get(s.pid, 0) for w, s in zip(weights, group)
+        ) % P
+        p_group.append((rot, p_lag, p_coeff, r_val, p_blind))
 
     uj = 1
-    for rot, p_lag, p_coeff, r_val in p_group:
+    for rot, p_lag, p_coeff, r_val, _ in p_group:
         z = points[rot]
         denom = FP.sub(omega_tbl, _scalar(z))
         inv_denom = FP.inv(denom)
@@ -438,21 +467,24 @@ def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals):
         uj = uj * u % P
 
     q_coeff = dom.lagrange_to_coeff(q_lag_total)
-    tw.write_point(commit(srs, q_coeff))
+    q_blind = secrets.randbelow(P)
+    tw.write_point(commit(srs, q_coeff, blind=q_blind))
     zstar = tw.challenge()
     zd = FP.encode([zstar])[:, 0]
 
     w_vals = []
-    for rot, p_lag, p_coeff, r_val in p_group:
+    for rot, p_lag, p_coeff, r_val, _ in p_group:
         wv = FP.decode(eval_poly(FP, p_coeff, zd)[:, None])[0]
         w_vals.append(wv)
         tw.write_scalar(wv)
 
     s_ch = tw.challenge()
     t_coeff = q_coeff
+    t_blind = q_blind
     sj = s_ch
-    for (_, _, p_coeff, _), wv in zip(p_group, w_vals):
+    for (_, _, p_coeff, _, p_blind), wv in zip(p_group, w_vals):
         t_coeff = FP.add(t_coeff, FP.mul(_scalar(sj), p_coeff))
+        t_blind = (t_blind + sj * p_blind) % P
         sj = sj * s_ch % P
 
-    open_poly(srs, tw, t_coeff, zstar)
+    open_poly(srs, tw, t_coeff, zstar, blind=t_blind)

@@ -109,7 +109,7 @@ class TinyRamCS:
             "pow_exact_val", "pow_exact",  # 2^i exact,   i ∈ [0, W]
             "ot_opcode", "ot_cont",
             *[f"ot_{o}" for o in OUT_NAMES],
-            "ot_left", "ot_right",
+            "ot_left", "ot_right", "ot_is_store", "ot_is_load",
         ):
             f[name] = cs.fixed_column(name)
         a["s_trace"] = cs.advice_column("s_trace")
@@ -146,6 +146,19 @@ class TinyRamCS:
         a["pow_key"] = cs.advice_column("pow_key")
         a["lsb_b"] = cs.advice_column("lsb_b")
         a["q_lsb"] = cs.advice_column("q_lsb")
+        # Exe↔Mem linking (our completion of the reference's unfinished
+        # memory story — SURVEY.md §2 L4 "Mem standalone only")
+        a["is_store"] = cs.advice_column("is_store")
+        a["is_load"] = cs.advice_column("is_load")
+        a["s_mem_g"] = cs.advice_column("s_mem_g")
+        a["address"] = cs.advice_column("address")
+        for nm in (
+            "m_s_trace", "m_addr", "m_time", "m_init", "m_store", "m_load",
+            "m_value", "m_s_rw",
+            "m_addr_inc", "m_addr_inc_e", "m_addr_inc_o",
+            "m_time_inc", "m_time_inc_e", "m_time_inc_o",
+        ):
+            a[nm] = cs.advice_column(nm)
 
         # instance: program lines + opcode/immediate + claimed answer
         i["p.opcode"] = cs.instance_column("p.opcode")
@@ -398,6 +411,57 @@ class TinyRamCS:
             ],
         )
 
+        # --- Exe↔Mem linking gates -------------------------------------
+        smg = a["s_mem_g"].cur()
+        cs.gate(
+            "mem.gate_def",
+            smg - st * (a["is_store"].cur() + a["is_load"].cur()),
+        )
+        # address = [A] operand, routed through temp var d on mem ops
+        cs.gate("mem.address", smg * (a["address"].cur() - a["tv_d"].cur()))
+        # memory-consistency gates (mem.rs:107-154, corrected load rule —
+        # see tinyram/mem.py docstring)
+        m_tr_n = a["m_s_trace"].next()
+        m_addr, m_addr_n = a["m_addr"].cur(), a["m_addr"].next()
+        m_time, m_time_n = a["m_time"].cur(), a["m_time"].next()
+        same_cycle = m_addr_n - m_addr
+        end_cycle = m_addr_n - m_addr - Const(1) - a["m_addr_inc"].next()
+        time_sorted = m_time_n - m_time - a["m_time_inc"].next()
+        msel = st * m_tr_n
+        cs.gate(
+            "mem.table",
+            [
+                msel * end_cycle * same_cycle,
+                msel * end_cycle * time_sorted,
+                msel * end_cycle * a["m_init"].next(),
+                msel * a["m_load"].next()
+                * (a["m_value"].next() - a["m_value"].cur()),
+            ],
+        )
+        cs.gate(
+            "mem.rw_def",
+            a["m_s_rw"].cur()
+            - st * a["m_s_trace"].cur() * (Const(1) - a["m_init"].cur()),
+        )
+        for w in ("m_addr_inc", "m_time_inc"):
+            cs.gate(
+                f"decomp.{w}",
+                st * a["m_s_trace"].cur()
+                * (a[f"{w}_e"].cur() + 2 * a[f"{w}_o"].cur() - a[w].cur()),
+            )
+        # kind bits must be boolean and exactly one per active mem row
+        cs.gate(
+            "mem.kinds",
+            [
+                st * a["m_s_trace"].cur()
+                * (a["m_init"].cur() + a["m_store"].cur() + a["m_load"].cur()
+                   - Const(1)),
+                st * a["m_init"].cur() * (a["m_init"].cur() - 1),
+                st * a["m_store"].cur() * (a["m_store"].cur() - 1),
+                st * a["m_load"].cur() * (a["m_load"].cur() - 1),
+            ],
+        )
+
     # ------------------------------------------------------------- lookups
 
     def _build_lookups(self):
@@ -454,9 +518,40 @@ class TinyRamCS:
         for o in OUT_NAMES:
             inputs.append(s * a[f"out.{o}"].cur())
             tables.append(f[f"ot_{o}"].cur())
-        inputs += [s * a["shift_left"].cur(), s * a["shift_right"].cur()]
-        tables += [f["ot_left"].cur(), f["ot_right"].cur()]
+        inputs += [s * a["shift_left"].cur(), s * a["shift_right"].cur(),
+                   s * a["is_store"].cur(), s * a["is_load"].cur()]
+        tables += [f["ot_left"].cur(), f["ot_right"].cur(),
+                   f["ot_is_store"].cur(), f["ot_is_load"].cur()]
         cs.lookup("out", inputs, tables)
+
+        # mem increment range checks
+        for w in ("m_addr_inc", "m_time_inc"):
+            dsel = st * a["m_s_trace"].cur()
+            for part in ("_e", "_o"):
+                cs.lookup(
+                    f"eb.{w}{part}",
+                    [dsel * a[f"{w}{part}"].cur()],
+                    [f["t_even"].cur()],
+                )
+
+        # Exe↔Mem two-way linking: the multiset of Exe memory-op tuples
+        # (addr, time, value, is_store) equals the multiset of non-init Mem
+        # rows.  Tuples are distinct (unique times), so mutual inclusion is
+        # equality.  time on the Exe side is the fixed row index + 1.
+        exe_tuple = [
+            a["s_mem_g"].cur() * a["address"].cur(),
+            a["s_mem_g"].cur() * (f["pc_fixed"].cur() + 1),
+            a["s_mem_g"].cur() * a["value"].cur(),
+            a["s_mem_g"].cur() * a["is_store"].cur(),
+        ]
+        mem_tuple = [
+            a["m_s_rw"].cur() * a["m_addr"].cur(),
+            a["m_s_rw"].cur() * a["m_time"].cur(),
+            a["m_s_rw"].cur() * a["m_value"].cur(),
+            a["m_s_rw"].cur() * a["m_store"].cur(),
+        ]
+        cs.lookup("exe_mem", exe_tuple, mem_tuple)
+        cs.lookup("mem_exe", mem_tuple, exe_tuple)
 
         # Prog dynamic lookup (prog.rs:163-193): every trace row's
         # (pc, opcode, immediate, selectors) is a row of the program table,
@@ -703,6 +798,47 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
     lsb = tvs["b"] & 1
     put("lsb_b", np.where(is_op("Shl", "Shr"), lsb, 0))
     put("q_lsb", np.where(is_op("Shl", "Shr"), (be - lsb) >> 2, 0))
+
+    # ---- Exe↔Mem link columns
+    is_st = np.where(is_op("StoreW"), 1, 0)
+    is_ld = np.where(is_op("LoadW"), 1, 0)
+    put("is_store", is_st)
+    put("is_load", is_ld)
+    put("s_mem_g", is_st + is_ld)  # s_table = 1 on all trace rows
+    put("address", np.where(is_st + is_ld == 1, a_val, 0))
+
+    order = sorted(
+        trace.accesses,
+        key=lambda ac: (ac.address, 0 if ac.kind == "init" else 1, ac.time),
+    )
+    M = len(order)
+    assert M <= tr_cs.table_len - 1, "memory access log too long for table"
+    m = {nm: np.zeros(n, dtype=np.int64) for nm in (
+        "m_s_trace", "m_addr", "m_time", "m_init", "m_store", "m_load",
+        "m_value", "m_s_rw", "m_addr_inc", "m_time_inc")}
+    prior_addr = 0
+    prior_time = 0
+    for i, ac in enumerate(order):
+        new_cycle = i == 0 or ac.address != order[i - 1].address
+        if new_cycle:
+            prior_time = 0
+        m["m_s_trace"][i] = 1
+        m["m_addr"][i] = ac.address
+        m["m_time"][i] = ac.time
+        m["m_init"][i] = 1 if ac.kind == "init" else 0
+        m["m_store"][i] = 1 if ac.kind == "store" else 0
+        m["m_load"][i] = 1 if ac.kind == "load" else 0
+        m["m_value"][i] = ac.value
+        m["m_s_rw"][i] = 0 if ac.kind == "init" else 1
+        m["m_addr_inc"][i] = max(ac.address - prior_addr - 1, 0) if new_cycle else 0
+        m["m_time_inc"][i] = max(ac.time - prior_time, 0)
+        prior_addr = ac.address
+        prior_time = ac.time
+    for w in ("m_addr_inc", "m_time_inc"):
+        e, o = decomp_even_odd(m[w], W)
+        m[f"{w}_e"] = e
+        m[f"{w}_o"] = o
+    cols.update(m)
     return cols
 
 
@@ -734,23 +870,25 @@ def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
         pow_mod[iv] = (1 << iv) % (1 << W)
         pow_exact_val[iv] = iv
         pow_exact[iv] = 1 << iv
-    ot = out_table_rows()  # (27, 16)
+    ot = out_table_rows()  # (27, 18): [op+1, cont, *out, left, store, load]
     ot_cols = {}
     names = ["ot_opcode", "ot_cont"] + [f"ot_{o}" for o in OUT_NAMES] + [
-        "ot_left", "ot_right"
+        "ot_left", "ot_right", "ot_is_store", "ot_is_load"
     ]
-    # out_table_rows layout: [opcode+1, cont, *outbits, shift_left]
     full = np.zeros((n, len(names)), dtype=np.int64)
+    nb = len(OUT_NAMES)
     full[: ot.shape[0], 0] = ot[:, 0]
     full[: ot.shape[0], 1] = ot[:, 1]
-    for j in range(len(OUT_NAMES)):
+    for j in range(nb):
         full[: ot.shape[0], 2 + j] = ot[:, 2 + j]
-    full[: ot.shape[0], 2 + len(OUT_NAMES)] = ot[:, -1]  # shift_left
+    full[: ot.shape[0], 2 + nb] = ot[:, 2 + nb]      # shift_left
+    full[: ot.shape[0], 4 + nb] = ot[:, 3 + nb]      # is_store
+    full[: ot.shape[0], 5 + nb] = ot[:, 4 + nb]      # is_load
     # shift_right: 1 only on the Shr row
     from .isa import OPCODES
 
     shr_row = list(OPCODES).index("Shr")
-    full[shr_row, 3 + len(OUT_NAMES)] = 1
+    full[shr_row, 3 + nb] = 1
     for j, nm in enumerate(names):
         ot_cols[nm] = full[:, j]
 

@@ -147,8 +147,11 @@ def selection_table(inst: Instruction):
         "Jmp": (A(), ("pc_next", 0), ("zero", 0), ("unset", 0), {"pc"}),
         "CJmp": (("pc_next", 0), A(), ("zero", 0), ("pc_plus_one", 0), {"pc"}),
         "CnJmp": (("pc_next", 0), ("pc_plus_one", 0), ("zero", 0), A(), {"pc"}),
-        "LoadW": (("v_addr", 0), RegN(ri), ("zero", 0), ("zero", 0), {ri}),
-        "StoreW": (("v_addr", 0), RegN(ri), ("zero", 0), ("zero", 0), set()),
+        # d routes the address operand [A] so the Exe↔Mem link can bind the
+        # memory address (deviation: reference leaves d = Zero and the
+        # address entirely unconstrained, exe.rs address column unused)
+        "LoadW": (("v_addr", 0), RegN(ri), ("zero", 0), A(), {ri}),
+        "StoreW": (("v_addr", 0), RegN(ri), ("zero", 0), A(), set()),
         "Answer": (A(), ("pc", 0), ("zero", 0), ("zero", 0), set()),
     }
     return tbl[op]
@@ -180,8 +183,9 @@ def selector_row(inst: Instruction, reg_count: int) -> np.ndarray:
 def out_table_rows() -> np.ndarray:
     """The fixed OutTable: opcode+1 -> (continue, out bits, shift_left).
 
-    Row layout: [opcode_plus_1, continue, *out_bits, shift_left]; includes
-    the all-zero default row (out_table.rs:84-93, 133-215 + shift_left).
+    Row layout: [opcode_plus_1, continue, *out_bits, shift_left, is_store,
+    is_load]; includes the all-zero default row (out_table.rs:84-93,
+    133-215 + the direction/memory indicator columns).
     """
     from .isa import OPCODES
 
@@ -190,6 +194,8 @@ def out_table_rows() -> np.ndarray:
         cont = 0 if op == "Answer" else 1
         bits = [1 if o in OUT_BITS[op] else 0 for o in OUT_NAMES]
         left = 1 if op == "Shl" else 0
-        rows.append([code + 1, cont] + bits + [left])
-    rows.append([0] * (2 + len(OUT_NAMES) + 1))  # default row
+        st = 1 if op == "StoreW" else 0
+        ld = 1 if op == "LoadW" else 0
+        rows.append([code + 1, cont] + bits + [left, st, ld])
+    rows.append([0] * (2 + len(OUT_NAMES) + 3))  # default row
     return np.array(rows, dtype=np.int64)
