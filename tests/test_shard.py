@@ -59,3 +59,14 @@ def test_msm_sharded_matches_single(mesh):
     got_pb = msm_sharded(mesh, sc, pb)
     got = to_affine_host(PointBatch(*[c[:, None] for c in got_pb]))[0]
     assert got == want
+
+
+def test_scaling_report_smoke(mesh):
+    """The 1→D scaling harness runs and reports sane efficiency numbers."""
+    from tinyram_tpu.shard.scaling import scaling_report
+
+    rep = scaling_report(log_n_ntt=8, log_n_msm=6, device_counts=[1, 8])
+    assert set(rep["ntt"]) == {1, 8} and set(rep["msm"]) == {1, 8}
+    assert all(v > 0 for v in rep["ntt"].values())
+    assert all(v > 0 for v in rep["msm"].values())
+    assert rep["efficiency"]["ntt"][1] == 1.0
