@@ -173,3 +173,15 @@ def test_memory_forgery_caught(circ8):
     failures = MockProver(circ8.tcs.cs, asg).verify()
     assert any(f.name in ("exe_mem", "mem_exe", "mem.table#3")
                for f in failures), failures
+
+
+def test_w24_mock():
+    """BASELINE word size 24 (k=14, 4096-row tables) mock-proves."""
+    circ = TinyRamCircuit(24, 8)
+    check(circ, [
+        I("Mov", ri=0, a=0xABCDEF),
+        I("Mull", ri=1, rj=0, a=0x123456),
+        I("Shr", ri=2, rj=1, a=13),
+        I("Cmpg", ri=2, a=0x800001),
+        I("Answer", areg=2),
+    ])
