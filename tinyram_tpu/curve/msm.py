@@ -1,20 +1,28 @@
 """Pippenger multi-scalar multiplication on TPU.
 
 Replaces the fork's CPU Pippenger (SURVEY.md §2, native-component ledger)
-with a formulation built from primitives XLA compiles well:
+with a formulation built from primitives XLA compiles well.  The pipeline
+per scalar window:
 
-  1. 8-bit windowed digits extracted straight from the 16-bit limb arrays
-     (two digits per limb, no bit twiddling across lanes).
-  2. Per window: `argsort` points by digit, then a **segmented
-     `associative_scan`** whose combiner is the complete projective add —
-     completeness (RCB16) makes the operator total and associative, so the
-     scan is mathematically exact for any bracketing.
-  3. Segment sums land in buckets via an integer `segment_sum` over the raw
-     limbs (exactly one contributing row per bucket, so integer addition is
-     exact).
-  4. Bucket-weighted reduction Σ d·B_d runs as a running-suffix loop
-     vectorized across all 32 windows at once; final window combination is
-     Horner with 8 doublings per step.
+  1. c-bit digits extracted straight from the 16-bit limb arrays.
+  2. Points digit-sorted (one XLA sort per window group), then bucket
+     sums via a **work-efficient chunked segmented scan**: the sorted lane
+     axis is cut into chunks of length L; a `lax.scan` of L steps computes
+     within-chunk segmented inclusive point-sums at full lane width (one
+     complete RCB16 add per element total — O(N) work, unlike the previous
+     Hillis–Steele pass which cost O(N log N) adds), and a log-width
+     carry-fixup stitches segments that span chunk boundaries.
+  3. Segment-end rows land in buckets via an integer `segment_sum` over
+     the raw limbs (exactly one contributing row per bucket, so integer
+     addition is exact).
+  4. Bucket-weighted reduction Σ d·B_d splits d = hi·S + lo and runs a
+     serial scan over the S lo-lanes at full (windows × hi) width — 2
+     adds per bucket instead of log(buckets) — followed by log-depth
+     combines over hi.
+  5. Final window combination is Horner with c doublings per step.
+
+The window size c adapts to N (8-bit at 2^12 up to 16-bit at 2^20+),
+and windows are processed in groups sized to bound peak HBM use.
 
 The multi-chip story (points sharded across devices, per-chip partial
 buckets combined with `psum`-style tree adds) lives in shard/msm.py.
@@ -22,7 +30,7 @@ buckets combined with `psum`-style tree adds) lives in shard/msm.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -33,133 +41,303 @@ from ..field.params import N_LIMBS
 from . import vesta
 from .vesta import PointBatch
 
-WINDOW_BITS = 8
-N_WINDOWS = 32  # 256 bits / 8
+SCALAR_BITS = 16 * N_LIMBS  # 256
 
 
-def scalar_digits(scalars_plain: jnp.ndarray) -> jnp.ndarray:
-    """(16, N) plain (non-Montgomery) scalar limbs -> (32, N) uint32 digits."""
-    lo = scalars_plain & np.uint32(0xFF)
-    hi = (scalars_plain >> np.uint32(8)) & np.uint32(0xFF)
-    # window 2k   = low byte of limb k, window 2k+1 = high byte
-    return jnp.stack([lo, hi], axis=1).reshape(2 * N_LIMBS, -1)
+def _ops():
+    """(add, add_select, double) — fused Pallas kernels on TPU, jnp else.
 
-
-def _shift_right(arr: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
-    """arr[i-d] along the last axis, first d lanes filled from `fill`."""
-    return jnp.concatenate([fill[..., :d], arr[..., :-d]], axis=-1)
-
-
-def _segmented_sums(d_sorted: jnp.ndarray, pts: PointBatch) -> PointBatch:
-    """Inclusive segmented prefix point-sums over digit-sorted lanes.
-
-    Hillis–Steele distance doubling: log2(n) rounds, each one full-width
-    complete add + select.  (An `associative_scan` with the 3k-op point-add
-    combiner unrolls ~2n bodies — minutes of XLA compile; a `lax.scan` is
-    serial — ~ms per step through this stack.  log-depth × full-width is
-    the TPU-shaped middle.)  Segment *ends* hold the full segment sums.
+    add_select(mask, p, q) = select(mask, p + q, q).  Resolved at trace
+    time; the CPU test mesh exercises the jnp path and tests/test_pallas
+    checks kernel-vs-jnp equality in interpret mode.
     """
-    n = d_sorted.shape[-1]
-    ident = vesta.identity((n,))
-    x = pts
-    d = 1
-    while d < n:
-        same = jnp.concatenate(
-            [jnp.zeros((d,), bool), d_sorted[d:] == d_sorted[:-d]]
-        )
-        shifted = PointBatch(
-            _shift_right(x.x, d, ident.x),
-            _shift_right(x.y, d, ident.y),
-            _shift_right(x.z, d, ident.z),
-        )
-        summed = vesta.add(x, shifted)
-        x = vesta.select(same, summed, x)
-        d *= 2
-    return x
+    from . import pallas_point as pp
+
+    if pp.use_pallas_points():
+        return pp.padd, pp.padd_select, pp.pdouble
+    return (
+        vesta.add,
+        lambda m, p, q: vesta.select(m, vesta.add(p, q), q),
+        vesta.double,
+    )
+
+# Peak per-group element budget: a group materializes ~3x (sorted points,
+# scan outputs, gathers) x 192 B/point, so 2^22 elements ~= 2.5 GB peak.
+_GROUP_ELEMS = 1 << 22
+_TARGET_LANES = 4096
 
 
-@jax.jit
-def window_bucket_sums(digits: jnp.ndarray, points: PointBatch) -> PointBatch:
-    """Bucket sums for one window: returns PointBatch with batch (257,).
+def choose_window_bits(n: int) -> int:
+    """Minimize total adds: W(c) * (n + ~2.2 * 2^c) with W = ceil(256/c)."""
+    best_c, best_cost = 8, None
+    for c in range(6, 17):
+        w = -(-SCALAR_BITS // c)
+        cost = w * (n + 2.2 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
 
-    Bucket 256 is the spill bucket for non-segment-end rows; buckets for
-    digits that never occur hold the identity.
+
+def scalar_digits(scalars_plain: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(16, N) plain (non-Montgomery) scalar limbs -> (W, N) int32 digits.
+
+    Window w covers scalar bits [w*c, w*c + c); digits < 2^c.
     """
-    n = digits.shape[0]
-    order = jnp.argsort(digits)
-    d_sorted = jnp.take(digits, order, axis=0)
-    px = jnp.take(points.x, order, axis=-1)
+    n_windows = -(-SCALAR_BITS // c)
+    mask = np.uint32((1 << c) - 1)
+    outs = []
+    for w in range(n_windows):
+        lo_bit = w * c
+        i0, s = divmod(lo_bit, 16)
+        if i0 >= N_LIMBS:
+            outs.append(jnp.zeros_like(scalars_plain[0]))
+            continue
+        d = scalars_plain[i0] >> np.uint32(s)
+        if s + c > 16 and i0 + 1 < N_LIMBS:
+            d = d | (scalars_plain[i0 + 1] << np.uint32(16 - s))
+        outs.append(d & mask)
+    return jnp.stack(outs).astype(jnp.int32)
+
+
+@lru_cache(maxsize=None)
+def _plan(n: int, n_windows: int):
+    """(group_size G, chunk length L, padded N) for the bucket pipeline."""
+    g = max(1, min(n_windows, _GROUP_ELEMS // max(n, 1)))
+    # chunk lanes across the whole group: aim for _TARGET_LANES total
+    k_per_window = max(1, _TARGET_LANES // g)
+    # L = serial scan depth; keep >= 8 so the scan amortizes, and pad n up
+    lanes = 1
+    while lanes * 2 <= min(k_per_window, max(1, n // 8)):
+        lanes *= 2
+    n_pad = -(-n // lanes) * lanes
+    L = n_pad // lanes
+    return g, lanes, L, n_pad
+
+
+def _shift_lanes(coord: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([fill[..., :d], coord[..., :-d]], axis=-1)
+
+
+def _group_bucket_sums_inner(
+    digits_g: jnp.ndarray,  # (G, N) int32
+    points: PointBatch,  # batch (N,)
+    c: int,
+    lanes_per_window: int,
+    L: int,
+) -> PointBatch:
+    """Bucket sums for G digit vectors at once -> batch (G, 2^c + 1).
+
+    Slot 2^c is the spill bucket (non-segment-end rows + padding).
+    """
+    n_buckets = 1 << c
+    spill = n_buckets
+    G, n = digits_g.shape
+    n_pad = lanes_per_window * L
+    if n_pad != n:
+        digits_g = jnp.pad(digits_g, ((0, 0), (0, n_pad - n)),
+                           constant_values=spill)
+        ident = vesta.identity((n_pad - n,))
+        points = PointBatch(
+            jnp.concatenate([points.x, ident.x], axis=-1),
+            jnp.concatenate([points.y, ident.y], axis=-1),
+            jnp.concatenate([points.z, ident.z], axis=-1),
+        )
+
+    order = jnp.argsort(digits_g, axis=-1)  # (G, n_pad)
+    d_sorted = jnp.take_along_axis(digits_g, order, axis=-1)
+    px = jnp.take(points.x, order, axis=-1)  # (16, G, n_pad)
     py = jnp.take(points.y, order, axis=-1)
     pz = jnp.take(points.z, order, axis=-1)
 
-    sums = _segmented_sums(d_sorted, PointBatch(px, py, pz))
-    sx, sy, sz = sums.x, sums.y, sums.z
+    # global segment ends (computed before chunking)
     ends = jnp.concatenate(
-        [(d_sorted[1:] != d_sorted[:-1]), jnp.ones((1,), bool)]
+        [d_sorted[:, 1:] != d_sorted[:, :-1], jnp.ones((G, 1), bool)], axis=-1
     )
-    ids = jnp.where(ends, d_sorted.astype(jnp.int32), 256)
-    # exactly one contributing row per bucket -> integer scatter-add is exact
-    def scatter(coord):
-        return jax.ops.segment_sum(
-            coord.T, ids, num_segments=257, indices_are_sorted=False
-        ).T  # (16, 257)
 
-    bx, by, bz = scatter(sx), scatter(sy), scatter(sz)
-    # empty buckets came out all-zero; patch to the projective identity
-    empty = jnp.all(jnp.concatenate([bx, by, bz], axis=0) == 0, axis=0)
-    by = jnp.where(empty[None], FQ.ones((257,)), by)
+    M = G * lanes_per_window  # total chunk lanes
+    d_chunk = d_sorted.reshape(M, L)
+    # scan inputs, step axis first
+    sx = jnp.moveaxis(px.reshape(N_LIMBS, M, L), -1, 0)  # (L, 16, M)
+    sy = jnp.moveaxis(py.reshape(N_LIMBS, M, L), -1, 0)
+    sz = jnp.moveaxis(pz.reshape(N_LIMBS, M, L), -1, 0)
+    same = jnp.concatenate(
+        [jnp.zeros((M, 1), bool), d_chunk[:, 1:] == d_chunk[:, :-1]], axis=-1
+    ).T  # (L, M)
+
+    _padd, _psel, _pdbl = _ops()
+
+    def step(acc: PointBatch, inp):
+        s, cx, cy, cz = inp
+        p = PointBatch(cx, cy, cz)
+        acc = _psel(s, acc, p)
+        return acc, acc
+
+    _, ys = jax.lax.scan(step, vesta.identity((M,)), (same, sx, sy, sz))
+    # ys: PointBatch of (L, 16, M) — within-chunk inclusive segment sums
+
+    # ---- cross-chunk carry fixup (log-width over the chunk-lane axis)
+    d_first = d_chunk[:, 0]
+    d_last = d_chunk[:, -1]
+    trailing = PointBatch(ys.x[-1], ys.y[-1], ys.z[-1])  # (16, M)
+    window_start = (
+        jnp.arange(M, dtype=jnp.int32) % lanes_per_window
+    ) == 0
+    prev = jnp.concatenate([d_last[:1], d_last[:-1]])  # d_last[k-1]
+    connects = jnp.logical_and(d_first == prev, ~window_start)
+    allsame_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), (d_first == d_last)[:-1]]
+    )
+    ident1 = vesta.identity((M,))
+    t_prev = PointBatch(
+        _shift_lanes(trailing.x, 1, ident1.x),
+        _shift_lanes(trailing.y, 1, ident1.y),
+        _shift_lanes(trailing.z, 1, ident1.z),
+    )
+    C = vesta.select(connects, t_prev, ident1)  # carry contribution
+    A = jnp.logical_and(connects, allsame_prev)  # propagate flag
+    dshift = 1
+    while dshift < lanes_per_window:
+        Cs = PointBatch(
+            _shift_lanes(C.x, dshift, ident1.x),
+            _shift_lanes(C.y, dshift, ident1.y),
+            _shift_lanes(C.z, dshift, ident1.z),
+        )
+        As = jnp.concatenate(
+            [jnp.zeros((dshift,), bool), A[:-dshift]]
+        )
+        C = _psel(A, Cs, C)
+        A = jnp.logical_and(A, As)
+        dshift *= 2
+    # C[k] = carry arriving into chunk k; applies at the end of the chunk's
+    # first segment (position e = count of leading d_first digits - 1)
+    e = jnp.sum(d_chunk == d_first[:, None], axis=-1) - 1  # (M,)
+    ge = jnp.take_along_axis(ys.x, e[None, None, :], axis=0)
+    gey = jnp.take_along_axis(ys.y, e[None, None, :], axis=0)
+    gez = jnp.take_along_axis(ys.z, e[None, None, :], axis=0)
+    at_e = PointBatch(ge[0], gey[0], gez[0])  # (16, M)
+    fixed = _padd(at_e, C)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, 1, M), 0) == e[None, None, :]
+    )
+    ys = PointBatch(
+        jnp.where(onehot, fixed.x[None], ys.x),
+        jnp.where(onehot, fixed.y[None], ys.y),
+        jnp.where(onehot, fixed.z[None], ys.z),
+    )
+
+    # ---- scatter global segment ends into buckets (exact integer adds)
+    flat = lambda a: jnp.moveaxis(a, 0, -1).reshape(
+        N_LIMBS, G, n_pad
+    ).reshape(N_LIMBS, G * n_pad)
+    fx, fy, fz = flat(ys.x), flat(ys.y), flat(ys.z)
+    ids = jnp.where(ends, d_sorted, spill)
+    ids = ids + (jnp.arange(G, dtype=jnp.int32) * (n_buckets + 1))[:, None]
+    ids_flat = ids.reshape(G * n_pad)
+
+    def scatter(coord):
+        out = jax.ops.segment_sum(
+            coord.T, ids_flat, num_segments=G * (n_buckets + 1)
+        ).T
+        return out.reshape(N_LIMBS, G, n_buckets + 1)
+
+    bx, by, bz = scatter(fx), scatter(fy), scatter(fz)
+    empty = jnp.all(
+        jnp.concatenate([bx, by, bz], axis=0) == 0, axis=0
+    )
+    by = jnp.where(empty[None], FQ.ones((G, n_buckets + 1)), by)
     return PointBatch(bx, by, bz)
 
 
-@jax.jit
-def _weighted_bucket_reduce(buckets: PointBatch) -> PointBatch:
-    """Σ_{d=1}^{255} d · B_d for all windows at once (log-depth).
+def _weighted_bucket_reduce_inner(buckets: PointBatch, c: int) -> PointBatch:
+    """Σ_{d=1}^{2^c - 1} d · B_d for all windows at once.
 
-    Σ d·B_d = Σ_{d≥1} S_d with S_d = Σ_{e≥d} B_e: an 8-round suffix
-    point-sum over the bucket axis followed by an 8-round pairwise tree
-    reduction — 16 full-width adds instead of 510 serial ones.
-
-    buckets: PointBatch with batch shape (n_windows, 257) (bucket 256 is
-    the spill bucket and is excluded).  Returns batch (n_windows,).
+    buckets: batch (W, 2^c + 1); spill slot excluded.  Splits d = hi·S + lo:
+      Σ d·B = S·Σ_hi hi·T_hi  +  Σ_hi U_hi,
+      T_hi = Σ_lo B[hi,lo],  U_hi = Σ_{lo≥1} Suf[hi,lo],
+    with the lo-axis suffix sums done as a serial scan at full (W·H) width
+    (2 adds per bucket — work-optimal), and hi combines at log depth.
+    Returns batch (W,).
     """
     nw = buckets.x.shape[1]
-    # drop spill bucket and bucket 0 (weight 0): work on buckets 1..255,
-    # padded to 256 lanes with identity at the END (suffix sums unaffected)
-    ident_col = vesta.identity((nw, 1))
-
-    def prep(c, ic):
-        return jnp.concatenate([c[..., 1:256], ic], axis=-1)  # (16, nw, 256)
-
-    x = PointBatch(
-        prep(buckets.x, ident_col.x),
-        prep(buckets.y, ident_col.y),
-        prep(buckets.z, ident_col.z),
+    n_buckets = 1 << c
+    s_lo = c // 2
+    S = 1 << s_lo
+    H = n_buckets // S
+    shape = (N_LIMBS, nw, H, S)
+    bx = buckets.x[..., :n_buckets].reshape(shape)
+    by = buckets.y[..., :n_buckets].reshape(shape)
+    bz = buckets.z[..., :n_buckets].reshape(shape)
+    # serial suffix scan over lo: acc_j = Σ_{lo≥j} B;  U += acc_j for j≥1
+    xs = (
+        jnp.moveaxis(bx, -1, 0)[::-1],  # (S, 16, W, H), lo = S-1 .. 0
+        jnp.moveaxis(by, -1, 0)[::-1],
+        jnp.moveaxis(bz, -1, 0)[::-1],
+        jnp.arange(S - 1, -1, -1),
     )
-    # suffix inclusive sums via distance doubling toward the left
+
+    _padd, _psel, _pdbl = _ops()
+
+    def step(carry, inp):
+        acc, tot = carry
+        cx, cy, cz, j = inp
+        acc = _padd(acc, PointBatch(cx, cy, cz))
+        tot = _psel(
+            jnp.broadcast_to(j >= 1, tot.x.shape[1:]), acc, tot
+        )
+        return (acc, tot), None
+
+    ident = vesta.identity((nw, H))
+    (T, U), _ = jax.lax.scan(step, (ident, ident), xs)
+    # X = Σ_hi hi·T_hi via suffix doubling; Y = Σ_hi U_hi via tree
+    X = _suffix_weighted(T)
+    Y = _tree_reduce_last(U)
+    for _ in range(s_lo):
+        X = _pdbl(X)
+    return _padd(X, Y)
+
+
+def _suffix_weighted(T: PointBatch) -> PointBatch:
+    """Σ_hi hi·T[..., hi] via log-depth suffix sums then a tree sum."""
+    H = T.x.shape[-1]
+    ident = vesta.identity(T.x.shape[1:])
     d = 1
-    ident = vesta.identity((nw, 256))
-    while d < 256:
+    x = T
+    while d < H:
         shifted = PointBatch(
             jnp.concatenate([x.x[..., d:], ident.x[..., :d]], axis=-1),
             jnp.concatenate([x.y[..., d:], ident.y[..., :d]], axis=-1),
             jnp.concatenate([x.z[..., d:], ident.z[..., :d]], axis=-1),
         )
-        x = vesta.add(x, shifted)
+        x = _ops()[0](x, shifted)
         d *= 2
-    # now lane j holds S_{j+1} = Σ_{e ≥ j+1} B_e; total = Σ_j lane_j
+    # x[..., j] = Σ_{hi≥j} T; Σ_{j≥1} x_j = Σ hi·T_hi
+    x = PointBatch(x.x[..., 1:], x.y[..., 1:], x.z[..., 1:])
+    return _tree_reduce_last(x)
+
+
+def _tree_reduce_last(x: PointBatch) -> PointBatch:
     while x.x.shape[-1] > 1:
-        h = x.x.shape[-1] // 2
-        x = vesta.add(
+        n = x.x.shape[-1]
+        if n % 2:
+            ident = vesta.identity(x.x.shape[1:-1] + (1,))
+            x = PointBatch(
+                jnp.concatenate([x.x, ident.x], axis=-1),
+                jnp.concatenate([x.y, ident.y], axis=-1),
+                jnp.concatenate([x.z, ident.z], axis=-1),
+            )
+            n += 1
+        h = n // 2
+        x = _ops()[0](
             PointBatch(x.x[..., :h], x.y[..., :h], x.z[..., :h]),
             PointBatch(x.x[..., h:], x.y[..., h:], x.z[..., h:]),
         )
     return PointBatch(x.x[..., 0], x.y[..., 0], x.z[..., 0])
 
 
-@jax.jit
-def _combine_windows(window_sums: PointBatch) -> PointBatch:
-    """Horner combine: result = Σ_w 2^{8w} S_w; batch shape (n_windows,) -> ()."""
+def _combine_windows_inner(window_sums: PointBatch, c: int) -> PointBatch:
+    """Horner: Σ_w 2^{cw} S_w over batch (W, *rest) -> (*rest)."""
     nw = window_sums.x.shape[1]
+    _padd, _psel, _pdbl = _ops()
 
     def body(i, acc):
         w = nw - 1 - i
@@ -168,100 +346,120 @@ def _combine_windows(window_sums: PointBatch) -> PointBatch:
             jax.lax.dynamic_index_in_dim(window_sums.y, w, 1, keepdims=False),
             jax.lax.dynamic_index_in_dim(window_sums.z, w, 1, keepdims=False),
         )
+
         def dbl(_, p):
-            return vesta.double(p)
-        acc = jax.lax.fori_loop(0, WINDOW_BITS, dbl, acc)
-        return vesta.add(acc, sw)
+            return _pdbl(p)
 
-    return jax.lax.fori_loop(0, nw, body, vesta.identity(()))
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        return _padd(acc, sw)
+
+    return jax.lax.fori_loop(
+        0, nw, body, vesta.identity(window_sums.x.shape[2:])
+    )
 
 
-def msm(scalars_plain: jnp.ndarray, points: PointBatch) -> PointBatch:
-    """Full Pippenger MSM.
+_group_bucket_sums = partial(jax.jit, static_argnums=(2, 3, 4))(
+    _group_bucket_sums_inner
+)
+
+
+_weighted_bucket_reduce = partial(jax.jit, static_argnums=1)(
+    _weighted_bucket_reduce_inner
+)
+_combine_windows = partial(jax.jit, static_argnums=1)(_combine_windows_inner)
+
+
+def _bucket_sums_all(
+    digits: jnp.ndarray, points: PointBatch, c: int
+) -> PointBatch:
+    """Bucket sums for every digit vector: (W_total, N) -> batch (W_total, B+1).
+
+    Groups bound peak memory; `lax.map` over groups compiles the group
+    body once and runs groups sequentially (traceable inside jit).
+    """
+    w_total, n = digits.shape
+    G, lanes, L, _ = _plan(n, w_total)
+    n_groups = -(-w_total // G)
+    if n_groups * G != w_total:  # pad with zero digit vectors
+        digits = jnp.pad(digits, ((0, n_groups * G - w_total), (0, 0)))
+    grouped = digits.reshape(n_groups, G, n)
+    if n_groups == 1:
+        out = _group_bucket_sums_inner(grouped[0], points, c, lanes, L)
+    else:
+        mapped = jax.lax.map(
+            lambda d: _group_bucket_sums_inner(d, points, c, lanes, L),
+            grouped,
+        )  # PointBatch of (n_groups, 16, G, B+1)
+        out = PointBatch(
+            *(
+                jnp.moveaxis(a, 0, 1).reshape(
+                    N_LIMBS, n_groups * G, a.shape[-1]
+                )
+                for a in mapped
+            )
+        )
+    return PointBatch(
+        out.x[:, :w_total], out.y[:, :w_total], out.z[:, :w_total]
+    )
+
+
+@partial(jax.jit, static_argnums=2)
+def _msm_call(scalars_plain, points, c):
+    digits = scalar_digits(scalars_plain, c)  # (W, N)
+    buckets = _bucket_sums_all(digits, points, c)
+    window_sums = _weighted_bucket_reduce_inner(buckets, c)
+    return _combine_windows_inner(window_sums, c)
+
+
+def msm(
+    scalars_plain: jnp.ndarray,
+    points: PointBatch,
+    window_bits: int | None = None,
+) -> PointBatch:
+    """Full Pippenger MSM (one jitted dispatch end-to-end).
 
     scalars_plain: (16, N) **plain-form** scalar limbs (use
     `FP.from_mont` first if coming from Montgomery-form field data).
     points: PointBatch with batch (N,).
     Returns a single projective point (batch ()).
     """
-    digits = scalar_digits(scalars_plain)  # (32, N)
-    per_window = [
-        window_bucket_sums(digits[w], points) for w in range(N_WINDOWS)
-    ]
-    buckets = PointBatch(
-        jnp.stack([b.x for b in per_window], axis=1),
-        jnp.stack([b.y for b in per_window], axis=1),
-        jnp.stack([b.z for b in per_window], axis=1),
-    )  # batch (32, 257)
-    window_sums = _weighted_bucket_reduce(buckets)
-    return _combine_windows(window_sums)
+    n = scalars_plain.shape[-1]
+    c = window_bits or choose_window_bits(n)
+    return _msm_call(scalars_plain, points, c)
 
 
-@jax.jit
-def _window_bucket_sums_batched(digits_b: jnp.ndarray, points: PointBatch):
-    """vmap of window_bucket_sums over a leading batch axis of digit vectors.
-
-    digits_b: (B, N) uint32 → PointBatch with batch (B, 257).
-    """
-    return jax.vmap(window_bucket_sums, in_axes=(0, None), out_axes=1)(
-        digits_b, points
-    )
-
-
-def msm_many(scalars_plain: jnp.ndarray, points: PointBatch) -> PointBatch:
+def msm_many(
+    scalars_plain: jnp.ndarray,
+    points: PointBatch,
+    window_bits: int | None = None,
+) -> PointBatch:
     """MSM of B scalar vectors against one point set in a single fused pass.
 
     scalars_plain: (16, B, N) plain-form scalar limbs.
     Returns a PointBatch with batch shape (B,).
 
     This is the workhorse for committing every advice/fixed/instance column
-    of a PLONK circuit at once: all 32·B windows are bucketed in one
-    compiled program instead of B sequential Pippenger runs.
+    of a PLONK circuit at once: all W·B windows run through the same
+    bucket pipeline (in memory-bounded groups) instead of B sequential
+    Pippenger runs.
     """
-    _, B, N = scalars_plain.shape
-    # digits: (32, B, N) -> flatten windows×batch for one vmapped pass
-    lo = scalars_plain & np.uint32(0xFF)
-    hi = (scalars_plain >> np.uint32(8)) & np.uint32(0xFF)
-    digits = jnp.stack([lo, hi], axis=1).reshape(2 * N_LIMBS, B, N)
-    digits_flat = digits.reshape(N_WINDOWS * B, N)
-    buckets_flat = _window_bucket_sums_batched(digits_flat, points)
-    # (16, 32*B, 257) -> regroup to per-column windows
-    bx = buckets_flat.x.reshape(16, N_WINDOWS, B, 257)
-    by = buckets_flat.y.reshape(16, N_WINDOWS, B, 257)
-    bz = buckets_flat.z.reshape(16, N_WINDOWS, B, 257)
-    # weighted bucket reduction vectorized over (windows × columns)
-    buckets = PointBatch(
-        bx.reshape(16, N_WINDOWS * B, 257),
-        by.reshape(16, N_WINDOWS * B, 257),
-        bz.reshape(16, N_WINDOWS * B, 257),
-    )
-    wsums = _weighted_bucket_reduce(buckets)  # batch (32*B,)
+    _, B, n = scalars_plain.shape
+    c = window_bits or choose_window_bits(n)
+    return _msm_many_call(scalars_plain, points, c)
+
+
+@partial(jax.jit, static_argnums=2)
+def _msm_many_call(scalars_plain, points, c):
+    _, B, n = scalars_plain.shape
+    n_windows = -(-SCALAR_BITS // c)
+    # scalar_digits only indexes the limb axis, so it maps over (B, N)
+    digits = scalar_digits(scalars_plain, c)  # (W, B, N)
+    digits_flat = digits.transpose(1, 0, 2).reshape(B * n_windows, n)
+    buckets = _bucket_sums_all(digits_flat, points, c)
+    wsums = _weighted_bucket_reduce_inner(buckets, c)  # batch (B*W,)
     per_col = PointBatch(
-        wsums.x.reshape(16, N_WINDOWS, B),
-        wsums.y.reshape(16, N_WINDOWS, B),
-        wsums.z.reshape(16, N_WINDOWS, B),
-    )
-    return _combine_windows_batched(per_col)
-
-
-@jax.jit
-def _combine_windows_batched(window_sums: PointBatch) -> PointBatch:
-    """Horner window combine for (n_windows, B) batches -> (B,)."""
-    nw = window_sums.x.shape[1]
-    B = window_sums.x.shape[2]
-
-    def body(i, acc):
-        w = nw - 1 - i
-        sw = PointBatch(
-            jax.lax.dynamic_index_in_dim(window_sums.x, w, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(window_sums.y, w, 1, keepdims=False),
-            jax.lax.dynamic_index_in_dim(window_sums.z, w, 1, keepdims=False),
-        )
-
-        def dbl(_, p):
-            return vesta.double(p)
-
-        acc = jax.lax.fori_loop(0, WINDOW_BITS, dbl, acc)
-        return vesta.add(acc, sw)
-
-    return jax.lax.fori_loop(0, nw, body, vesta.identity((B,)))
+        wsums.x.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),
+        wsums.y.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),
+        wsums.z.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),
+    )  # batch (W, B)
+    return _combine_windows_inner(per_col, c)

@@ -25,53 +25,107 @@ _MASK = np.uint32(LIMB_MASK)
 _SHIFT = np.uint32(LIMB_BITS)
 
 
-def _make_kernel(params: FieldParams):
-    p_limbs = tuple(
-        int(v) for v in np.array(
-            [(params.modulus >> (16 * i)) & 0xFFFF for i in range(N_LIMBS)],
-            dtype=np.uint32,
-        )
+def field_limbs(params: FieldParams) -> tuple[int, ...]:
+    return tuple(
+        (params.modulus >> (16 * i)) & 0xFFFF for i in range(N_LIMBS)
     )
+
+
+def cond_sub_p(out: list, p_limbs: tuple) -> list:
+    """Reduce a limb vector known to be < 2p into [0, p) (in-kernel)."""
+    base = np.uint32(1 << LIMB_BITS)
+    zero = jnp.zeros_like(out[0])
+    diff = []
+    borrow = zero
+    for i in range(N_LIMBS):
+        t = out[i] + (base - np.uint32(p_limbs[i])) - borrow
+        diff.append(t & _MASK)
+        borrow = np.uint32(1) - (t >> _SHIFT)
+    keep = borrow.astype(jnp.bool_)
+    return [jnp.where(keep, out[i], diff[i]) for i in range(N_LIMBS)]
+
+
+def mont_mul_vecs(a: list, b: list, p_limbs: tuple, n0inv: np.uint32) -> list:
+    """SOS Montgomery multiply on lists of 16 limb vectors (in-kernel).
+
+    The reduction pass exploits the Pasta prime limb structure (8 zero
+    limbs, one 1, one power of two): ~96 real multiplies instead of 256.
+    """
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * N_LIMBS)
+    for i in range(N_LIMBS):
+        for j in range(N_LIMBS):
+            prod = a[i] * b[j]
+            cols[i + j] = cols[i + j] + (prod & _MASK)
+            if i + j + 1 < 2 * N_LIMBS:
+                cols[i + j + 1] = cols[i + j + 1] + (prod >> _SHIFT)
+    for i in range(N_LIMBS):
+        m = (cols[i] * n0inv) & _MASK
+        for j in range(N_LIMBS):
+            pj = int(p_limbs[j])
+            if pj == 0:
+                continue
+            if pj == 1:
+                prod = m
+            elif pj & (pj - 1) == 0:  # power of two: shift, not multiply
+                prod = m << np.uint32(pj.bit_length() - 1)
+            else:
+                prod = m * np.uint32(pj)
+            cols[i + j] = cols[i + j] + (prod & _MASK)
+            if i + j + 1 < 2 * N_LIMBS:
+                cols[i + j + 1] = cols[i + j + 1] + (prod >> _SHIFT)
+        if i + 1 < 2 * N_LIMBS:
+            cols[i + 1] = cols[i + 1] + (cols[i] >> _SHIFT)
+    # carry-normalize the top half
+    out = []
+    carry = zero
+    for i in range(N_LIMBS):
+        v = cols[N_LIMBS + i] + carry
+        out.append(v & _MASK)
+        carry = v >> _SHIFT
+    return cond_sub_p(out, p_limbs)
+
+
+def mod_add_vecs(a: list, b: list, p_limbs: tuple) -> list:
+    """(a + b) mod p on limb-vector lists (a, b < p; in-kernel)."""
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for i in range(N_LIMBS):
+        v = a[i] + b[i] + carry
+        out.append(v & _MASK)
+        carry = v >> _SHIFT
+    return cond_sub_p(out, p_limbs)
+
+
+def mod_sub_vecs(a: list, b: list, p_limbs: tuple) -> list:
+    """(a - b) mod p on limb-vector lists (a, b < p; in-kernel)."""
+    base = np.uint32(1 << LIMB_BITS)
+    zero = jnp.zeros_like(a[0])
+    diff = []
+    borrow = zero
+    for i in range(N_LIMBS):
+        t = a[i] + (base - b[i]) - borrow
+        diff.append(t & _MASK)
+        borrow = np.uint32(1) - (t >> _SHIFT)
+    out = []
+    carry = zero
+    for i in range(N_LIMBS):
+        v = diff[i] + borrow * np.uint32(p_limbs[i]) + carry
+        out.append(v & _MASK)
+        carry = v >> _SHIFT
+    return out
+
+
+def _make_kernel(params: FieldParams):
+    p_limbs = field_limbs(params)
     n0inv = np.uint32(params.n0_inv)
 
     def kernel(a_ref, b_ref, o_ref):
         a = [a_ref[i, :] for i in range(N_LIMBS)]
         b = [b_ref[i, :] for i in range(N_LIMBS)]
-        zero = jnp.zeros_like(a[0])
-        cols = [zero] * (2 * N_LIMBS)
+        out = mont_mul_vecs(a, b, p_limbs, n0inv)
         for i in range(N_LIMBS):
-            for j in range(N_LIMBS):
-                prod = a[i] * b[j]
-                cols[i + j] = cols[i + j] + (prod & _MASK)
-                if i + j + 1 < 2 * N_LIMBS:
-                    cols[i + j + 1] = cols[i + j + 1] + (prod >> _SHIFT)
-        for i in range(N_LIMBS):
-            m = (cols[i] * n0inv) & _MASK
-            for j in range(N_LIMBS):
-                prod = m * np.uint32(p_limbs[j])
-                cols[i + j] = cols[i + j] + (prod & _MASK)
-                if i + j + 1 < 2 * N_LIMBS:
-                    cols[i + j + 1] = cols[i + j + 1] + (prod >> _SHIFT)
-            if i + 1 < 2 * N_LIMBS:
-                cols[i + 1] = cols[i + 1] + (cols[i] >> _SHIFT)
-        # carry-normalize the top half
-        out = []
-        carry = zero
-        for i in range(N_LIMBS):
-            v = cols[N_LIMBS + i] + carry
-            out.append(v & _MASK)
-            carry = v >> _SHIFT
-        # conditional subtract p (result < 2p)
-        base = np.uint32(1 << LIMB_BITS)
-        diff = []
-        borrow = zero
-        for i in range(N_LIMBS):
-            t = out[i] + (base - np.uint32(p_limbs[i])) - borrow
-            diff.append(t & _MASK)
-            borrow = np.uint32(1) - (t >> _SHIFT)
-        keep = borrow.astype(jnp.bool_)
-        for i in range(N_LIMBS):
-            o_ref[i, :] = jnp.where(keep, out[i], diff[i])
+            o_ref[i, :] = out[i]
 
     return kernel
 
