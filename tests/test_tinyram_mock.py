@@ -185,3 +185,87 @@ def test_w24_mock():
         I("Cmpg", ri=2, a=0x800001),
         I("Answer", areg=2),
     ])
+
+
+def test_tape_binding(circ8):
+    """Public-tape binding: init rows must match the primary-tape instance.
+
+    Goes beyond the reference (whose Mem table is unlinked): the initial
+    memory is pinned to the public tape — forged tape values, forged
+    non-tape inits, and instance/witness tape mismatches are all caught.
+    """
+    import numpy as np
+
+    from tinyram_tpu.field import FP
+    from tinyram_tpu.plonk import MockProver
+    from tinyram_tpu.tinyram.exe import instance_columns
+
+    prog = [
+        I("LoadW", ri=0, a=0),
+        I("Add", ri=1, rj=0, a=1),
+        I("Answer", areg=1),
+    ]
+    tr = eval_program(prog, 8, 8, primary_tape=[41])
+    assert tr.answer == 42
+    asg = circ8.assignment(tr)
+    assert MockProver(circ8.tcs.cs, asg).verify() == []
+
+    # (a) verifier supplies a different public tape -> lookups must fail
+    bad = instance_columns(circ8.tcs, prog, 42, primary=[40])
+    asg_bad = circ8.assignment(tr)
+    for nm in ("t.act", "t.addr", "t.value"):
+        asg_bad.set(circ8.tcs.col.instance[nm], bad[nm])
+    failures = MockProver(circ8.tcs.cs, asg_bad).verify()
+    assert any(f.name in ("tape_mem", "mem_tape") for f in failures), failures
+
+    # (b) prover forges a nonzero init at a non-tape address
+    asg_f = circ8.assignment(tr)
+    row = int(np.max(np.nonzero(
+        FP.decode(asg_f.get(circ8.tcs.col.advice["m_s_trace"]))))) + 1
+    prev_addr = int(FP.decode(
+        asg_f.get(circ8.tcs.col.advice["m_addr"]))[row - 1])
+    inc = 9 - prev_addr - 1  # keep the sort gates satisfied
+    from tinyram_tpu.tinyram.exe import decomp_even_odd
+    ie, io = decomp_even_odd(np.array([inc]), 8)
+    forged = {
+        "m_s_trace": 1, "m_addr": 9, "m_init": 1, "m_value": 7,
+        "m_addr_inc": inc, "m_addr_inc_e": int(ie[0]),
+        "m_addr_inc_o": int(io[0]),
+    }
+    for nm, val in forged.items():
+        col = circ8.tcs.col.advice[nm]
+        vals = FP.decode(asg_f.get(col))
+        vals[row] = val
+        asg_f.set(col, np.array(vals, dtype=np.int64))
+    failures = MockProver(circ8.tcs.cs, asg_f).verify()
+    assert any("tape.init" in f.name for f in failures), failures
+
+    # (c) prover claims the tape init row is in-tape with a wrong value
+    asg_v = circ8.assignment(tr)
+    col = circ8.tcs.col.advice["m_value"]
+    vals = FP.decode(asg_v.get(col))
+    inits = FP.decode(asg_v.get(circ8.tcs.col.advice["m_init"]))
+    row = min(i for i, v in enumerate(inits) if v == 1)
+    vals[row] = 99
+    asg_v.set(col, np.array(vals, dtype=np.int64))
+    failures = MockProver(circ8.tcs.cs, asg_v).verify()
+    assert any(f.name in ("tape_mem", "mem_tape", "exe_mem", "mem_exe")
+               for f in failures), failures
+
+
+def test_aux_tape_mock(circ8):
+    """Aux tape: private words are free advice but confined to the public
+    aux address region."""
+    from tinyram_tpu.plonk import MockProver
+
+    prog = [
+        I("LoadW", ri=0, a=0),   # primary[0]
+        I("LoadW", ri=1, a=8),   # aux[0] (addr = 1*W/8... word stride 1B @ W=8)
+        I("Add", ri=2, rj=0, a=1),
+        I("Answer", areg=2),
+    ]
+    # W=8 -> 1 byte per word: primary at addr 0, aux at addr 1
+    tr = eval_program(prog, 8, 8, primary_tape=[10], aux_tape=[5])
+    assert tr.aux_len == 1
+    asg = circ8.assignment(tr)
+    assert MockProver(circ8.tcs.cs, asg).verify() == []

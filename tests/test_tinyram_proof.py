@@ -59,4 +59,7 @@ def test_proof_memory_program(setup8):
     tr = eval_program(prog, 8, 8, primary_tape=[41])
     assert tr.answer == 42
     proof = circ.prove(srs, pk, tr)
-    assert circ.verify(srs, pk, prog, 42, proof)
+    assert circ.verify(srs, pk, prog, 42, proof, primary=[41])
+    # tape binding: claiming a different public tape must fail
+    assert not circ.verify(srs, pk, prog, 42, proof, primary=[40])
+    assert not circ.verify(srs, pk, prog, 42, proof)

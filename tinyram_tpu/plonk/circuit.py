@@ -67,6 +67,13 @@ class ConstraintSystem:
         self.num_fixed = 0
         self.num_advice = 0
         self.num_instance = 0
+        # zero-knowledge blinding rows: the last `blinding_factors + 1` rows
+        # of the domain are reserved — advice gets random values there, the
+        # lookup/permutation product rules deactivate, and row
+        # `n - blinding_factors - 1` carries the l_last·(z²−z) end check
+        # (the halo2 usable-rows discipline).  0 ⇒ no blinding rows, but the
+        # constraint shape below is the same either way (l_last at row n−1).
+        self.blinding_factors = 0
         self.gates: list[Gate] = []
         self.lookups: list[Lookup] = []
         # copy constraints: ((col, row), (col, row)) pairs
@@ -136,13 +143,19 @@ class ConstraintSystem:
         for lk in self.lookups:
             in_deg = max((e.degree() for e in lk.inputs), default=1)
             tb_deg = max((e.degree() for e in lk.tables), default=1)
-            # Z(ωX)(A'+β)(S'+γ)  vs  Z(X)(A+β)(S+γ)
-            d = max(d, 1 + in_deg + tb_deg, 3)
+            # active(X) · (Z(ωX)(A'+β)(S'+γ) − Z(X)(A+β)(S+γ))
+            d = max(d, 2 + in_deg + tb_deg, 3)
         nperm = len(self.permutation_columns())
         if nperm:
-            # single-chunk permutation product: Z * Π (v + β δ^j X + γ)
-            d = max(d, 1 + nperm + 1)
+            # active(X) · Z · Π (v + β δ^j X + γ)
+            d = max(d, 1 + nperm + 2)
         return d
+
+    def usable_rows(self, n: int) -> int:
+        """u = n − (blinding_factors + 1).  Rows [0, u) carry real data and
+        the product rules; row u is the l_last end-check row; rows (u, n)
+        are pure blinding rows (random advice/Z values)."""
+        return n - self.blinding_factors - 1
 
     def extension_factor_log2(self) -> int:
         d = self.required_degree()

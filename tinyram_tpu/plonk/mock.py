@@ -98,7 +98,9 @@ class MockProver:
                 FP.decode(_eval_expr_lagrange(e, asg, cache)) for e in lk.tables
             ]
             table = set(zip(*tb_vals)) if tb_vals else set()
-            for row in range(n):
+            # the lookup argument only covers the usable rows (ZK blinding
+            # rows and the l_last row are excluded by the active factor)
+            for row in range(self.cs.usable_rows(n)):
                 tup = tuple(col[row] for col in in_vals)
                 if tup not in table:
                     failures.append(

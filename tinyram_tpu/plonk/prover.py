@@ -163,6 +163,26 @@ def create_proof(
 
     import secrets
 
+    # ---- zero-knowledge blinding rows (halo2 usable-rows discipline):
+    # rows [u, n) of every advice column get uniform random field values,
+    # so openings at x/xω are hiding.  Gates must vanish there (fixed
+    # selectors); the lookup/permutation product rules deactivate there.
+    bf = cs.blinding_factors
+    u = cs.usable_rows(n)
+
+    def _rand_tail(count: int) -> list[int]:
+        if bf == 0:
+            return [0] * count
+        return [secrets.randbelow(P) for _ in range(count)]
+
+    if bf > 0 and cs.num_advice:
+        tail = n - u
+        enc = FP.encode(_rand_tail(cs.num_advice * tail)).reshape(
+            16, cs.num_advice, tail
+        )
+        for i in range(cs.num_advice):
+            asg.advice[i] = asg.advice[i].at[:, u:].set(enc[:, i])
+
     lag: dict[tuple, jnp.ndarray] = {}
     coeff: dict[tuple, jnp.ndarray] = {}
     blinds: dict[tuple, int] = {}  # W-blinds; 0 for public polys
@@ -222,7 +242,13 @@ def create_proof(
         s_lag = _compress(tb_vals, theta)
         lookup_data.append((a_lag, s_lag))
     for li, (a_lag, s_lag) in enumerate(lookup_data):
-        ap_ints, sp_ints = permute_lookup(FP.decode(a_lag), FP.decode(s_lag))
+        # permute over the usable prefix only; blinding tail is random
+        ap_ints, sp_ints = permute_lookup(
+            FP.decode(a_lag)[:u], FP.decode(s_lag)[:u]
+        )
+        tail_vals = _rand_tail(2 * (n - u))
+        ap_ints = list(ap_ints) + tail_vals[: n - u]
+        sp_ints = list(sp_ints) + tail_vals[n - u :]
         ap_lag = jnp.asarray(_mont_table(FP, ap_ints))
         sp_lag = jnp.asarray(_mont_table(FP, sp_ints))
         lag[("la", li)] = ap_lag
@@ -266,7 +292,14 @@ def create_proof(
             t_den = FP.add(FP.add(v, FP.mul(beta_d, sig)), gamma_d)
             num = t_num if num is None else FP.mul(num, t_num)
             den = t_den if den is None else FP.mul(den, t_den)
-        zperm = _grand_product(num, den)
+        # restrict the product to usable rows; z[u] is the end value
+        row_mask = jnp.arange(n) < u
+        ones_n = FP.ones((n,))
+        zperm = _grand_product(
+            jnp.where(row_mask, num, ones_n), jnp.where(row_mask, den, ones_n)
+        )
+        if bf > 0:
+            zperm = zperm.at[:, u + 1 :].set(FP.encode(_rand_tail(n - u - 1)))
         lag[("zperm",)] = zperm
         coeff[("zperm",)] = dom.lagrange_to_coeff(zperm)
         tw.write_point(commit(srs, coeff[("zperm",)], blind=_blind(("zperm",))))
@@ -291,7 +324,18 @@ def create_proof(
             ],
             axis=1,
         )
+        row_mask = jnp.arange(n) < u
+        ones_b = FP.ones((1, n))
+        nums = jnp.where(row_mask, nums, ones_b)
+        dens = jnp.where(row_mask, dens, ones_b)
         zs = _grand_product_batched(nums, dens)
+        if bf > 0:
+            B = zs.shape[1]
+            zs = zs.at[:, :, u + 1 :].set(
+                FP.encode(_rand_tail(B * (n - u - 1))).reshape(
+                    16, B, n - u - 1
+                )
+            )
         z_coeff = dom.lagrange_to_coeff(zs)
         z_comms = commit_many(
             srs,
@@ -320,6 +364,9 @@ def create_proof(
     l0_ext = jnp.asarray(dom.l0_evals_ext())
     x_ext = jnp.asarray(dom.x_evals_ext())
     one_ext = FP.ones((dom.n_ext,))
+    # usable-rows selectors: l_last = l_u; active = 1 − Σ_{i≥u} l_i
+    l_last_ext = dom.lagrange_sum_ext((u,))
+    active_ext = FP.sub(one_ext, dom.lagrange_sum_ext(tuple(range(u, n))))
 
     constraints = []  # list of (16, n_ext) arrays, canonical order
     gate_cache: dict = {}
@@ -331,6 +378,7 @@ def create_proof(
         z = ext(("zperm",))
         z_next = _rolled(z, 1, scale)
         constraints.append(FP.mul(l0_ext, FP.sub(z, one_ext)))
+        constraints.append(FP.mul(l_last_ext, FP.sub(FP.mul(z, z), z)))
         d = delta()
         # z accumulates Π id/σ, so Z(ωX) pairs with the σ side:
         #   Z(ωX)·Π(v + β·σ_j + γ) − Z(X)·Π(v + β·δ^j·X + γ) = 0
@@ -345,7 +393,7 @@ def create_proof(
             right = FP.mul(
                 right, FP.add(FP.add(v, FP.mul(_scalar(dj), x_ext)), gamma_d)
             )
-        constraints.append(FP.sub(left, right))
+        constraints.append(FP.mul(active_ext, FP.sub(left, right)))
     for li, lk in enumerate(cs.lookups):
         cache = {}
         in_ext = _eval_exprs_on(lk.inputs, ext_col, dom.n_ext, scale, cache)
@@ -358,14 +406,26 @@ def create_proof(
         zl_next = _rolled(zl, 1, scale)
         ap_prev = _rolled(ap, -1, scale)
         constraints.append(FP.mul(l0_ext, FP.sub(zl, one_ext)))
+        constraints.append(FP.mul(l_last_ext, FP.sub(FP.mul(zl, zl), zl)))
         constraints.append(
-            FP.sub(
-                FP.mul(zl_next, FP.mul(FP.add(ap, beta_d), FP.add(sp, gamma_d))),
-                FP.mul(zl, FP.mul(FP.add(a_ext, beta_d), FP.add(s_ext, gamma_d))),
+            FP.mul(
+                active_ext,
+                FP.sub(
+                    FP.mul(
+                        zl_next,
+                        FP.mul(FP.add(ap, beta_d), FP.add(sp, gamma_d)),
+                    ),
+                    FP.mul(
+                        zl,
+                        FP.mul(FP.add(a_ext, beta_d), FP.add(s_ext, gamma_d)),
+                    ),
+                ),
             )
         )
         constraints.append(FP.mul(l0_ext, FP.sub(ap, sp)))
-        constraints.append(FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
+        constraints.append(
+            FP.mul(active_ext, FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
+        )
 
     # fold constraints with y powers in one weighted tree-sum
     K = len(constraints)

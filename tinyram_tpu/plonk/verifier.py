@@ -121,10 +121,16 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
             constraints.append(_host_eval_expr(poly, evals, points))
     zh_x = (pow(x, n, P) - 1) % P
     l0_x = zh_x * pow(n * (x - 1) % P, P - 2, P) % P
+    # usable-rows selectors (mirror prover): l_last = l_u, active = 1 − Σ_{i≥u}
+    u = cs.usable_rows(n)
+    tail = dom.lagrange_evals_host(x, range(u, n))
+    l_last_x = tail[0]
+    active_x = (1 - sum(tail)) % P
     if perm_cols:
         z_x = evals[(("zperm",), 0)]
         z_wx = evals[(("zperm",), 1)]
         constraints.append(l0_x * (z_x - 1) % P)
+        constraints.append(l_last_x * (z_x * z_x - z_x) % P)
         d = delta()
         # mirror prover: Z(ωX)·Π(v+β·σ+γ) − Z(X)·Π(v+β·δ^j·X+γ)
         left, right = z_wx, z_x
@@ -133,7 +139,7 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
             sig = evals[(("sigma", j), 0)]
             left = left * ((vj + beta * sig + gamma) % P) % P
             right = right * ((vj + beta * pow(d, j, P) % P * x + gamma) % P) % P
-        constraints.append((left - right) % P)
+        constraints.append(active_x * (left - right) % P)
     for li, lk in enumerate(cs.lookups):
         a_x = 0
         for e in reversed(lk.inputs):
@@ -149,12 +155,17 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
         ap_prev = evals[(("la", li), -1)]
         sp_x = evals[(("ls", li), 0)]
         constraints.append(l0_x * (zl_x - 1) % P)
+        constraints.append(l_last_x * (zl_x * zl_x - zl_x) % P)
         constraints.append(
-            (zl_wx * ((ap_x + beta) % P) % P * ((sp_x + gamma) % P)
-             - zl_x * ((a_x + beta) % P) % P * ((s_x + gamma) % P)) % P
+            active_x
+            * ((zl_wx * ((ap_x + beta) % P) % P * ((sp_x + gamma) % P)
+                - zl_x * ((a_x + beta) % P) % P * ((s_x + gamma) % P)) % P)
+            % P
         )
         constraints.append(l0_x * (ap_x - sp_x) % P)
-        constraints.append((ap_x - sp_x) % P * ((ap_x - ap_prev) % P) % P)
+        constraints.append(
+            active_x * ((ap_x - sp_x) % P) % P * ((ap_x - ap_prev) % P) % P
+        )
 
     folded = constraints[0]
     for c in constraints[1:]:

@@ -122,6 +122,23 @@ class Domain:
         self._x_ext = _mont_table(self.field, vals)
         return self._x_ext
 
+    def lagrange_sum_ext(self, rows: tuple) -> jnp.ndarray:
+        """Coset-extended evaluations of Σ_{i∈rows} l_i(X), cached.
+
+        Used for the ZK usable-rows machinery: l_last (= l_u) and the
+        blinding-row selector Σ_{i≥u} l_i in the lookup/permutation rules.
+        """
+        cache = getattr(self, "_lsum_ext", None)
+        if cache is None:
+            cache = self._lsum_ext = {}
+        key = tuple(rows)
+        if key not in cache:
+            ind = np.zeros(self.n, dtype=np.int64)
+            ind[list(key)] = 1
+            lag = jnp.asarray(_mont_table(self.field, ind.tolist()))
+            cache[key] = self.coeff_to_extended(self.lagrange_to_coeff(lag))
+        return cache[key]
+
     def lagrange_evals_host(self, x: int, indices) -> list[int]:
         """l_i(x) for a host point x (verifier side), exact Python ints."""
         p = self.field.modulus

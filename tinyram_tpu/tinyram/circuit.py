@@ -41,15 +41,18 @@ class TinyRamCircuit:
         for name, arr in exe_witness(self.tcs, trace).items():
             asg.set(self.tcs.col.advice[name], arr)
         for name, arr in instance_columns(
-            self.tcs, trace.prog, trace.answer
+            self.tcs, trace.prog, trace.answer,
+            primary=trace.primary_tape, aux_len=trace.aux_len,
         ).items():
             asg.set(self.tcs.col.instance[name], arr)
         asg.finalize()
         return asg
 
-    def instance_arrays(self, prog: Program, answer: int) -> list:
+    def instance_arrays(
+        self, prog: Program, answer: int, primary=(), aux_len: int = 0
+    ) -> list:
         """Instance column value lists in column-index order (verifier)."""
-        byname = instance_columns(self.tcs, prog, answer)
+        byname = instance_columns(self.tcs, prog, answer, primary, aux_len)
         out = [None] * self.tcs.cs.num_instance
         for name, colh in self.tcs.col.instance.items():
             out[colh.index] = [int(v) for v in byname[name]]
@@ -70,10 +73,12 @@ class TinyRamCircuit:
         return create_proof(srs, pk, self.assignment(trace))
 
     def verify(
-        self, srs: SRS, pk: ProvingKey, prog: Program, answer: int, proof: bytes
+        self, srs: SRS, pk: ProvingKey, prog: Program, answer: int,
+        proof: bytes, primary=(), aux_len: int = 0,
     ) -> bool:
         return verify_proof(
-            srs, pk.vk, self.instance_arrays(prog, answer), proof
+            srs, pk.vk,
+            self.instance_arrays(prog, answer, primary, aux_len), proof,
         )
 
 
@@ -86,5 +91,8 @@ def gen_proof_and_verify(
     srs = setup(circuit.k)
     pk = circuit.keygen(srs)
     proof = circuit.prove(srs, pk, trace)
-    ok = circuit.verify(srs, pk, prog, trace.answer, proof)
+    ok = circuit.verify(
+        srs, pk, prog, trace.answer, proof,
+        primary=primary, aux_len=len(list(aux)),
+    )
     return trace, proof, ok

@@ -51,6 +51,14 @@ class Trace:
     inst_index: np.ndarray  # (T,) index into prog of the executed instruction
     accesses: list[MemAccess] = field(default_factory=list)
     answer: int = 0
+    # tape regions (public primary tape words / private aux tape length) —
+    # consumed by the tape-binding instance columns (exe.py)
+    primary_tape: tuple = ()
+    aux_len: int = 0
+
+    @property
+    def primary_len(self) -> int:
+        return len(self.primary_tape)
 
     def __len__(self):
         return len(self.pc)
@@ -215,4 +223,6 @@ def eval_program(
         inst_index=np.array(inst_idx, dtype=np.int64),
         accesses=accesses,
         answer=answer,
+        primary_tape=tuple(int(w) for w in primary_tape),
+        aux_len=len(list(aux_tape)),
     )

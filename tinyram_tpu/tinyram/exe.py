@@ -88,6 +88,10 @@ class TinyRamCS:
         self.k = 2 + word_bits // 2
         self.n = 1 << self.k
         self.cs = ConstraintSystem()
+        # zero-knowledge: reserve blinding rows (advice opened at ≤2 points
+        # each; 6 leaves slack).  All gates/lookups are st-gated, so the
+        # random rows live outside every constraint's support.
+        self.cs.blinding_factors = 6
         self.pl_names = [
             s for s in sel_layout(reg_count)
             if not s.startswith("out.") and s != "shift_left"
@@ -157,6 +161,7 @@ class TinyRamCS:
             "m_value", "m_s_rw",
             "m_addr_inc", "m_addr_inc_e", "m_addr_inc_o",
             "m_time_inc", "m_time_inc_e", "m_time_inc_o",
+            "m_in_tape", "m_in_aux",
         ):
             a[nm] = cs.advice_column(nm)
 
@@ -166,6 +171,12 @@ class TinyRamCS:
         for name in self.pl_names:
             i[f"p.{name}"] = cs.instance_column(f"p.{name}")
         i["answer"] = cs.instance_column("answer")
+        # public tape binding: primary tape entries (act, addr, value) and
+        # the aux-tape address region (aux_act, aux_addr).  Closes the
+        # "prover forges initial memory" gap the reference never reached
+        # (its Mem table is unlinked — SURVEY.md §0 "Maturity").
+        for nm in ("t.act", "t.addr", "t.value", "t.aux_act", "t.aux_addr"):
+            i[nm] = cs.instance_column(nm)
         self.col = ExeColumns(fixed=f, advice=a, instance=i)
 
     # --------------------------------------------------------------- gates
@@ -412,13 +423,18 @@ class TinyRamCS:
         )
 
         # --- Exe↔Mem linking gates -------------------------------------
+        # definition gates are st-gated so ZK blinding rows stay free; the
+        # lookups below re-gate the selector products with st for the same
+        # reason.
         smg = a["s_mem_g"].cur()
         cs.gate(
             "mem.gate_def",
-            smg - st * (a["is_store"].cur() + a["is_load"].cur()),
+            st * (smg - a["is_store"].cur() - a["is_load"].cur()),
         )
         # address = [A] operand, routed through temp var d on mem ops
-        cs.gate("mem.address", smg * (a["address"].cur() - a["tv_d"].cur()))
+        cs.gate(
+            "mem.address", st * smg * (a["address"].cur() - a["tv_d"].cur())
+        )
         # memory-consistency gates (mem.rs:107-154, corrected load rule —
         # see tinyram/mem.py docstring)
         m_tr_n = a["m_s_trace"].next()
@@ -440,8 +456,19 @@ class TinyRamCS:
         )
         cs.gate(
             "mem.rw_def",
-            a["m_s_rw"].cur()
-            - st * a["m_s_trace"].cur() * (Const(1) - a["m_init"].cur()),
+            st * (a["m_s_rw"].cur()
+                  - a["m_s_trace"].cur() * (Const(1) - a["m_init"].cur())),
+        )
+        # m_s_trace is a boolean contiguous prefix: forged "island" rows
+        # after a gap would escape the global address-sort chain and admit
+        # duplicate address cycles (forged loads).
+        m_tr = a["m_s_trace"].cur()
+        cs.gate(
+            "mem.contig",
+            [
+                st * m_tr * (m_tr - 1),
+                st * (Const(1) - m_tr) * a["m_s_trace"].next(),
+            ],
         )
         for w in ("m_addr_inc", "m_time_inc"):
             cs.gate(
@@ -459,6 +486,26 @@ class TinyRamCS:
                 st * a["m_init"].cur() * (a["m_init"].cur() - 1),
                 st * a["m_store"].cur() * (a["m_store"].cur() - 1),
                 st * a["m_load"].cur() * (a["m_load"].cur() - 1),
+            ],
+        )
+
+        # --- tape binding gates: every init row is a primary-tape entry,
+        # an aux-tape word (value free = nondeterministic input), or zero.
+        # Membership itself is enforced by the tape lookups (_build_lookups).
+        it, ia = a["m_in_tape"].cur(), a["m_in_aux"].cur()
+        cs.gate(
+            "tape.init",
+            [
+                st * it * (it - 1),
+                st * ia * (ia - 1),
+                st * it * ia,
+                st * it * (Const(1) - a["m_init"].cur()),
+                st * ia * (Const(1) - a["m_init"].cur()),
+                # in-tape rows must be REAL mem-table rows, not phantoms
+                st * it * (Const(1) - a["m_s_trace"].cur()),
+                st * ia * (Const(1) - a["m_s_trace"].cur()),
+                st * a["m_init"].cur() * (Const(1) - it - ia)
+                * a["m_value"].cur(),
             ],
         )
 
@@ -538,31 +585,64 @@ class TinyRamCS:
         # (addr, time, value, is_store) equals the multiset of non-init Mem
         # rows.  Tuples are distinct (unique times), so mutual inclusion is
         # equality.  time on the Exe side is the fixed row index + 1.
+        # every advice-gated input carries the fixed st factor so that ZK
+        # blinding rows (random advice beyond the usable region) compress
+        # to the all-zero tuple, which every table side contains.
+        smg_g = st * a["s_mem_g"].cur()
+        srw_g = st * a["m_s_rw"].cur()
         exe_tuple = [
-            a["s_mem_g"].cur() * a["address"].cur(),
-            a["s_mem_g"].cur() * (f["pc_fixed"].cur() + 1),
-            a["s_mem_g"].cur() * a["value"].cur(),
-            a["s_mem_g"].cur() * a["is_store"].cur(),
+            smg_g * a["address"].cur(),
+            smg_g * (f["pc_fixed"].cur() + 1),
+            smg_g * a["value"].cur(),
+            smg_g * a["is_store"].cur(),
         ]
         mem_tuple = [
-            a["m_s_rw"].cur() * a["m_addr"].cur(),
-            a["m_s_rw"].cur() * a["m_time"].cur(),
-            a["m_s_rw"].cur() * a["m_value"].cur(),
-            a["m_s_rw"].cur() * a["m_store"].cur(),
+            srw_g * a["m_addr"].cur(),
+            srw_g * a["m_time"].cur(),
+            srw_g * a["m_value"].cur(),
+            srw_g * a["m_store"].cur(),
         ]
         cs.lookup("exe_mem", exe_tuple, mem_tuple)
         cs.lookup("mem_exe", mem_tuple, exe_tuple)
+
+        # Tape binding (two-way): every active primary-tape instance entry
+        # appears as an in-tape init row, and every in-tape init row matches
+        # a tape entry.  Init rows are unique per address (sorted cycles),
+        # so mutual inclusion pins the initial memory exactly.  Aux rows
+        # need only address membership — their values are the private tape.
+        it, ia = a["m_in_tape"].cur(), a["m_in_aux"].cur()
+        tape_side = [
+            inst["t.act"].cur() * inst["t.addr"].cur(),
+            inst["t.act"].cur() * inst["t.value"].cur(),
+            inst["t.act"].cur(),
+        ]
+        mem_side = [
+            st * it * a["m_addr"].cur(),
+            st * it * a["m_value"].cur(),
+            st * it,
+        ]
+        cs.lookup("tape_mem", tape_side, mem_side)
+        cs.lookup("mem_tape", mem_side, tape_side)
+        cs.lookup(
+            "mem_aux",
+            [st * ia * a["m_addr"].cur(), st * ia],
+            [
+                inst["t.aux_act"].cur() * inst["t.aux_addr"].cur(),
+                inst["t.aux_act"].cur(),
+            ],
+        )
 
         # Prog dynamic lookup (prog.rs:163-193): every trace row's
         # (pc, opcode, immediate, selectors) is a row of the program table,
         # whose table side lives directly in instance columns.
         sp = f["s_prog"].cur()
-        inputs = [tr * a["pc"].cur(), tr * a["opcode"].cur(),
-                  tr * a["immediate"].cur()]
+        tr_g = st * tr
+        inputs = [tr_g * a["pc"].cur(), tr_g * a["opcode"].cur(),
+                  tr_g * a["immediate"].cur()]
         tables = [sp * f["pc_fixed"].cur(), sp * inst["p.opcode"].cur(),
                   sp * inst["p.immediate"].cur()]
         for name in self.pl_names:
-            inputs.append(tr * a[f"pl.{name}"].cur())
+            inputs.append(tr_g * a[f"pl.{name}"].cur())
             tables.append(sp * inst[f"p.{name}"].cur())
         cs.lookup("prog", inputs, tables)
 
@@ -815,7 +895,11 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
     assert M <= tr_cs.table_len - 1, "memory access log too long for table"
     m = {nm: np.zeros(n, dtype=np.int64) for nm in (
         "m_s_trace", "m_addr", "m_time", "m_init", "m_store", "m_load",
-        "m_value", "m_s_rw", "m_addr_inc", "m_time_inc")}
+        "m_value", "m_s_rw", "m_addr_inc", "m_time_inc",
+        "m_in_tape", "m_in_aux")}
+    wb = W // 8  # bytes per word (tape stride, emulator.py:78-81)
+    prim_hi = trace.primary_len * wb
+    aux_hi = (trace.primary_len + trace.aux_len) * wb
     prior_addr = 0
     prior_time = 0
     for i, ac in enumerate(order):
@@ -830,6 +914,11 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
         m["m_load"][i] = 1 if ac.kind == "load" else 0
         m["m_value"][i] = ac.value
         m["m_s_rw"][i] = 0 if ac.kind == "init" else 1
+        if ac.kind == "init" and ac.address % wb == 0:
+            if ac.address < prim_hi:
+                m["m_in_tape"][i] = 1
+            elif ac.address < aux_hi:
+                m["m_in_aux"][i] = 1
         m["m_addr_inc"][i] = max(ac.address - prior_addr - 1, 0) if new_cycle else 0
         m["m_time_inc"][i] = max(ac.time - prior_time, 0)
         prior_addr = ac.address
@@ -901,12 +990,14 @@ def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
 
 
 def instance_columns(
-    tr_cs: TinyRamCS, prog: Program, answer: int
+    tr_cs: TinyRamCS, prog: Program, answer: int,
+    primary=(), aux_len: int = 0,
 ) -> dict[str, np.ndarray]:
-    """Instance columns: padded program lines + claimed answer.
+    """Instance columns: padded program lines, claimed answer, public tape.
 
     Mirrors program_instance (prog.rs:38-60): pad by repeating the final
-    Answer instruction to TABLE_LEN.
+    Answer instruction to TABLE_LEN.  The primary tape words and the
+    aux-tape address region are public (Arya p.13 tape convention).
     """
     n, tl = tr_cs.n, tr_cs.table_len
     assert prog and prog[-1].op == "Answer"
@@ -927,4 +1018,16 @@ def instance_columns(
             if nm in tr_cs.pl_names:
                 cols[f"p.{nm}"][row] = sr[ci]
     cols["answer"] = np.full(n, answer, dtype=np.int64)
+    primary = list(primary)
+    assert len(primary) + aux_len <= tl - 1, "tapes too long for table"
+    wb = tr_cs.word_bits // 8
+    for nm in ("t.act", "t.addr", "t.value", "t.aux_act", "t.aux_addr"):
+        cols[nm] = np.zeros(n, dtype=np.int64)
+    for i, word in enumerate(primary):
+        cols["t.act"][i] = 1
+        cols["t.addr"][i] = i * wb
+        cols["t.value"][i] = int(word)
+    for j in range(aux_len):
+        cols["t.aux_act"][j] = 1
+        cols["t.aux_addr"][j] = (len(primary) + j) * wb
     return cols

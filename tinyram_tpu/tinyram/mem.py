@@ -33,6 +33,7 @@ class MemCS:
         self.k = 2 + word_bits // 2
         self.n = 1 << self.k
         cs = self.cs = ConstraintSystem()
+        cs.blinding_factors = 6  # ZK blinding rows (see exe.py)
         f, a = {}, {}
         for nm in ("s_table", "t_even"):
             f[nm] = cs.fixed_column(nm)

@@ -134,4 +134,6 @@ def eval_program_native(
         inst_index=inst_index[:T].copy(),
         accesses=accesses,
         answer=int(answer.value),
+        primary_tape=tuple(int(w) for w in primary_tape),
+        aux_len=len(list(aux_tape)),
     )
