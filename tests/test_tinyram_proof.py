@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full proofs take minutes on CPU
+
 from tinyram_tpu.ipa import setup
 from tinyram_tpu.tinyram import Imm, Instruction, Reg, TinyRamCircuit, eval_program
 

@@ -266,7 +266,21 @@ class Field:
     # host <-> device helpers (non-jittable)
 
     def encode(self, ints, to_mont: bool = True) -> jnp.ndarray:
-        """Python ints -> (16, N) Montgomery device array."""
+        """Python ints -> (16, N) Montgomery device array.
+
+        Fast path: integer numpy arrays (non-object dtype) with values in
+        [0, 2^63) are limb-split vectorized and Montgomery-converted with
+        one device multiply — no per-value Python loop.
+        """
+        if isinstance(ints, np.ndarray) and ints.dtype != object and \
+                ints.dtype.kind in "iu" and ints.ndim == 1 and \
+                (ints.size == 0 or int(ints.min()) >= 0):
+            vals = ints.astype(np.int64, copy=False)
+            limbs = np.zeros((N_LIMBS, vals.shape[0]), dtype=np.uint32)
+            for i in range(4):
+                limbs[i] = (vals >> (16 * i)) & 0xFFFF
+            dev = jnp.asarray(limbs)
+            return self.to_mont(dev) if to_mont else dev
         factor = self.params.r_mod_p if to_mont else 1
         arr = np.asarray(
             [
@@ -287,6 +301,19 @@ class Field:
         host = np.asarray(jax.device_get(arr))
         flat = host.reshape(N_LIMBS, -1)
         return [limbs_to_int(flat[:, i]) for i in range(flat.shape[1])]
+
+    def decode_i64(self, arr: jnp.ndarray, from_mont: bool = True):
+        """(16, N) device array -> int64 numpy array, or None if any value
+        exceeds 62 bits (caller falls back to the bigint path)."""
+        if from_mont:
+            arr = self.from_mont(arr)
+        host = np.asarray(jax.device_get(arr)).reshape(N_LIMBS, -1)
+        if host[4:].any() or (host[3] >> 14).any():
+            return None
+        out = host[0].astype(np.int64)
+        for i in range(1, 4):
+            out |= host[i].astype(np.int64) << (16 * i)
+        return out
 
 
 FP = Field(fp_params())

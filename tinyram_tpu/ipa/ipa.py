@@ -49,6 +49,24 @@ from .srs import SRS
 P = FP.modulus
 
 
+def _msm_dispatch(scalars_plain: jnp.ndarray, points: PointBatch) -> PointBatch:
+    """msm, or the point-sharded mesh msm when a mesh context is active."""
+    from ..shard.context import current_mesh
+
+    mesh = current_mesh()
+    if mesh is not None and scalars_plain.shape[-1] % mesh.devices.size == 0:
+        from ..shard.msm import msm_many_sharded, msm_sharded
+
+        if scalars_plain.ndim == 3:
+            return msm_many_sharded(mesh, scalars_plain, points)
+        return msm_sharded(mesh, scalars_plain, points)
+    from ..curve.msm import msm_many
+
+    if scalars_plain.ndim == 3:
+        return msm_many(scalars_plain, points)
+    return msm(scalars_plain, points)
+
+
 def commit(srs: SRS, coeffs: jnp.ndarray, blind: int = 0) -> AffinePoint:
     """Commit to a (16, m) Montgomery coefficient vector, m ≤ 2^k.
 
@@ -59,7 +77,7 @@ def commit(srs: SRS, coeffs: jnp.ndarray, blind: int = 0) -> AffinePoint:
     if m < srs.n:
         coeffs = jnp.concatenate([coeffs, FP.zeros((srs.n - m,))], axis=-1)
     plain = FP.from_mont(coeffs)
-    base = to_affine_host(_single(msm(plain, srs.g)))[0]
+    base = to_affine_host(_single(_msm_dispatch(plain, srs.g)))[0]
     if blind:
         base = host.add(base, host.scalar_mul(blind % P, srs.w_host))
     return base
@@ -133,8 +151,10 @@ def open_poly(
         wR = FP.mul(gamma, a_hi_full) * (1 - hi_sel)[None]
         sL = FP.decode(tree_sum(FP, FP.mul(a_lo, b_hi))[:, None])[0]
         sR = FP.decode(tree_sum(FP, FP.mul(a_hi, b_lo))[:, None])[0]
-        L_base = to_affine_host(_single(msm(FP.from_mont(wL), srs.g)))[0]
-        R_base = to_affine_host(_single(msm(FP.from_mont(wR), srs.g)))[0]
+        lr = to_affine_host(
+            _msm_dispatch(FP.from_mont(jnp.stack([wL, wR], axis=1)), srs.g)
+        )
+        L_base, R_base = lr[0], lr[1]
         xi_l, xi_r = rand(), rand()
         L = host.add(L_base, host.scalar_mul(sL, u_base))
         L = host.add(L, host.scalar_mul(xi_l, srs.w_host))
@@ -237,7 +257,7 @@ def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
         padded.append(c)
     stack = jnp.stack(padded, axis=1)  # (16, B, n)
     plain = FP.from_mont(stack)
-    pts = msm_many(plain, srs.g)
+    pts = _msm_dispatch(plain, srs.g)
     out = to_affine_host(pts)
     if blinds is not None:
         out = [

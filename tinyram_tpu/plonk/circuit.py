@@ -180,9 +180,9 @@ class Assignment:
     def _encode(self, values) -> jnp.ndarray:
         arr = np.asarray(values)
         assert arr.shape == (self.n,), f"expected ({self.n},), got {arr.shape}"
-        if arr.dtype == object:  # python ints
+        if arr.dtype == object:  # python ints (may exceed 64 bits)
             return FP.encode([int(v) for v in arr])
-        return FP.encode([int(v) for v in arr])
+        return FP.encode(arr)  # vectorized int64 fast path
 
     def set(self, col: Column, values) -> None:
         """Assign a full column from ints (host) or a (16, n) device array."""

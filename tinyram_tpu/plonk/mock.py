@@ -88,20 +88,29 @@ class MockProver:
                     )
                 )
 
-        # lookups (multiset check on host ints)
+        # lookups (multiset check on host ints); columns whose values fit
+        # int64 (the common case) decode vectorized, others fall back to
+        # per-value bigints
+        def _decode_col(dev):
+            fast = FP.decode_i64(dev)
+            return fast.tolist() if fast is not None else FP.decode(dev)
+
+        u = self.cs.usable_rows(n)
         for lk in self.cs.lookups:
             cache: dict = {}
             in_vals = [
-                FP.decode(_eval_expr_lagrange(e, asg, cache)) for e in lk.inputs
+                _decode_col(_eval_expr_lagrange(e, asg, cache))
+                for e in lk.inputs
             ]
             tb_vals = [
-                FP.decode(_eval_expr_lagrange(e, asg, cache)) for e in lk.tables
+                _decode_col(_eval_expr_lagrange(e, asg, cache))
+                for e in lk.tables
             ]
             table = set(zip(*tb_vals)) if tb_vals else set()
             # the lookup argument only covers the usable rows (ZK blinding
             # rows and the l_last row are excluded by the active factor)
-            for row in range(self.cs.usable_rows(n)):
-                tup = tuple(col[row] for col in in_vals)
+            rows_in = list(zip(*(col[:u] for col in in_vals)))
+            for row, tup in enumerate(rows_in):
                 if tup not in table:
                     failures.append(
                         Failure(

@@ -38,8 +38,14 @@ _PROFILE = bool(_os.environ.get("TINYRAM_PROFILE"))
 
 
 def _phase(name, t0):
+    """Record a prover phase into the global KernelCounters (BASELINE.md's
+    per-phase reporting; surfaced by bench.py) and optionally print it."""
+    from ..utils.profiling import counters
+
+    dt = _time.time() - t0
+    counters.add(f"prover.{name}", 0, dt)
     if _PROFILE:
-        print(f"[prover] {name}: {_time.time() - t0:.1f}s", flush=True)
+        print(f"[prover] {name}: {dt:.1f}s", flush=True)
     return _time.time()
 
 
@@ -148,12 +154,63 @@ def permute_lookup(a_vals: list[int], s_vals: list[int]):
     return a_sorted, [int(v) for v in s_prime]
 
 
+def _limbs_to_i64(host: np.ndarray):
+    """(16, N) plain-form host limbs -> int64 array, or None if too large."""
+    if host[4:].any() or (host[3] >> 14).any():
+        return None
+    out = host[0].astype(np.int64)
+    for i in range(1, 4):
+        out |= host[i].astype(np.int64) << (16 * i)
+    return out
+
+
+def permute_lookup_np(a_vals: np.ndarray, s_vals: np.ndarray):
+    """Vectorized permute for int64 values (the common case: single-column
+    range lookups whose values are < 2^32).  Same rule as permute_lookup."""
+    n = len(a_vals)
+    a_sorted = np.sort(a_vals)
+    first = np.ones(n, dtype=bool)
+    first[1:] = a_sorted[1:] != a_sorted[:-1]
+    needed = a_sorted[first]
+    s_sorted = np.sort(s_vals)
+    idx = np.searchsorted(s_sorted, needed, side="left")
+    ok = (idx < n) & (s_sorted[np.minimum(idx, n - 1)] == needed)
+    if not ok.all():
+        missing = needed[~ok][0]
+        raise ValueError(f"lookup input {missing} not present in table")
+    consumed = np.zeros(n, dtype=bool)
+    consumed[idx] = True
+    s_prime = np.empty(n, dtype=np.int64)
+    s_prime[first] = needed
+    s_prime[~first] = s_sorted[~consumed]
+    return a_sorted, s_prime
+
+
 # -------------------------------------------------------------------- prover
 
 
 def create_proof(
-    srs: SRS, pk: ProvingKey, asg: Assignment, tw: TranscriptWriter | None = None
+    srs: SRS, pk: ProvingKey, asg: Assignment,
+    tw: TranscriptWriter | None = None, mesh=None,
 ) -> bytes:
+    if mesh is not None:
+        # multi-chip mode: row-shard the witness columns over the mesh and
+        # activate the mesh context — Domain NTTs become the all-to-all
+        # 4-step transform, commit MSMs become point-sharded partials, and
+        # GSPMD partitions the elementwise phases (rolls become halo
+        # collective-permutes).  Single-source: same body either way.
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ..shard.context import mesh_context
+
+        rows = NamedSharding(mesh, _P(None, "chips"))
+        for cols in (asg.advice, asg.instance, asg.fixed):
+            for i, v in enumerate(cols):
+                if v is not None:
+                    cols[i] = _jax.device_put(v, rows)
+        with mesh_context(mesh):
+            return create_proof(srs, pk, asg, tw)
     cs = pk.vk.cs
     dom = pk.domain
     n = dom.n
@@ -241,16 +298,39 @@ def create_proof(
         a_lag = _compress(in_vals, theta)
         s_lag = _compress(tb_vals, theta)
         lookup_data.append((a_lag, s_lag))
+    if lookup_data:
+        # one fused from_mont + transfer for every lookup's (A, S) pair
+        all_pairs = jnp.stack(
+            [x for pair in lookup_data for x in pair], axis=1
+        )  # (16, 2L, n)
+        host_pairs = np.asarray(
+            jax.device_get(FP.from_mont(all_pairs[:, :, :u]))
+        )
     for li, (a_lag, s_lag) in enumerate(lookup_data):
         # permute over the usable prefix only; blinding tail is random
-        ap_ints, sp_ints = permute_lookup(
-            FP.decode(a_lag)[:u], FP.decode(s_lag)[:u]
-        )
+        ha = host_pairs[:, 2 * li]
+        hs = host_pairs[:, 2 * li + 1]
+        a64 = _limbs_to_i64(ha)
+        s64 = _limbs_to_i64(hs)
+        if a64 is not None and s64 is not None:
+            ap_arr, sp_arr = permute_lookup_np(a64, s64)
+            ap_body, sp_body = FP.encode(ap_arr), FP.encode(sp_arr)
+        else:
+            from ..field.params import limbs_to_int
+
+            ap_ints, sp_ints = permute_lookup(
+                [limbs_to_int(ha[:, i]) for i in range(u)],
+                [limbs_to_int(hs[:, i]) for i in range(u)],
+            )
+            ap_body = jnp.asarray(_mont_table(FP, ap_ints))
+            sp_body = jnp.asarray(_mont_table(FP, sp_ints))
         tail_vals = _rand_tail(2 * (n - u))
-        ap_ints = list(ap_ints) + tail_vals[: n - u]
-        sp_ints = list(sp_ints) + tail_vals[n - u :]
-        ap_lag = jnp.asarray(_mont_table(FP, ap_ints))
-        sp_lag = jnp.asarray(_mont_table(FP, sp_ints))
+        ap_lag = jnp.concatenate(
+            [ap_body, jnp.asarray(_mont_table(FP, tail_vals[: n - u]))], axis=1
+        )
+        sp_lag = jnp.concatenate(
+            [sp_body, jnp.asarray(_mont_table(FP, tail_vals[n - u:]))], axis=1
+        )
         lag[("la", li)] = ap_lag
         lag[("ls", li)] = sp_lag
         permuted.append(ap_lag)

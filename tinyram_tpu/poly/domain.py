@@ -38,12 +38,28 @@ class Domain:
 
     # ------------------------------------------------------------ transforms
 
+    def _ntt(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """Single-chip NTT, or the all-to-all 4-step sharded NTT when a
+        mesh context is active (shard/context.py) and the size fits."""
+        from ..shard.context import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None:
+            from ..shard.ntt import _split_rc, ntt_sharded
+
+            n = a.shape[-1]
+            D = mesh.devices.size
+            R, C = _split_rc(n.bit_length() - 1)
+            if self.field.params.name == "Fp" and R % D == 0 and C % D == 0:
+                return ntt_sharded(mesh, a, inverse, self.field)
+        return ntt(self.field, a, inverse=inverse)
+
     def lagrange_to_coeff(self, a: jnp.ndarray) -> jnp.ndarray:
         """Evaluations on H (natural ω^i order) -> coefficients."""
-        return ntt(self.field, a, inverse=True)
+        return self._ntt(a, True)
 
     def coeff_to_lagrange(self, a: jnp.ndarray) -> jnp.ndarray:
-        return ntt(self.field, a, inverse=False)
+        return self._ntt(a, False)
 
     def coeff_to_extended(self, a: jnp.ndarray) -> jnp.ndarray:
         """Coefficients (len n or less) -> evaluations on the coset g·H_ext."""
@@ -53,11 +69,11 @@ class Domain:
                 [a, self.field.zeros(a.shape[1:-1] + (pad,))], axis=-1
             )
         a = coeff_scale(self.field, a, self.g_coset)
-        return ntt(self.field, a, inverse=False)
+        return self._ntt(a, False)
 
     def extended_to_coeff(self, a: jnp.ndarray) -> jnp.ndarray:
         """Evaluations on g·H_ext -> coefficients (length n_ext)."""
-        a = ntt(self.field, a, inverse=True)
+        a = self._ntt(a, True)
         return coeff_scale(self.field, a, self.g_coset_inv)
 
     # ---------------------------------------------------------- vanishing poly

@@ -80,12 +80,25 @@ def ntt(field: Field, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
 
     Forward: coeffs -> evals at (1, ω, ω², …) in natural order.
     Inverse: evals -> coeffs (including the 1/n scale).
+
+    On TPU, transforms of ≥ 2^9 points route to the VMEM-resident Pallas
+    kernels (poly/pallas_ntt.py) — disable with TINYRAM_NO_PALLAS=1.
     """
+    import os
+
     n = a.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return a
+    if (
+        n >= 512
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("TINYRAM_NO_PALLAS")
+    ):
+        from .pallas_ntt import ntt_pallas
+
+        return ntt_pallas(field, a, inverse=inverse, use_kernel=True)
     rev, tables = _stage_twiddles(field.params.name, log_n, inverse)
     out = jnp.take(a, rev, axis=-1)
     lead = a.shape[:-1]  # (16, ...) leading dims

@@ -23,8 +23,10 @@ from .isa import Program
 
 
 class TinyRamCircuit:
-    def __init__(self, word_bits: int, reg_count: int):
-        self.tcs = TinyRamCS(word_bits, reg_count)
+    def __init__(self, word_bits: int, reg_count: int, k: int | None = None):
+        """``k`` > 2 + W/2 decouples trace capacity from the word size
+        (the reference caps traces at 2^(W/2) rows — exe.rs:104-106)."""
+        self.tcs = TinyRamCS(word_bits, reg_count, k=k)
 
     @property
     def k(self) -> int:

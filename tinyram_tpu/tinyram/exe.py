@@ -80,18 +80,34 @@ class ExeColumns:
 class TinyRamCS:
     """Builds the full TinyRAM constraint system for (WORD_BITS, REG_COUNT)."""
 
-    def __init__(self, word_bits: int, reg_count: int):
+    def __init__(self, word_bits: int, reg_count: int, k: int | None = None):
         self.word_bits = word_bits
         self.reg_count = reg_count
+        # fixed-table extent (even-bits range table = 2^(W/2) rows;
+        # prog-table capacity) — the reference additionally capped the
+        # TRACE at this length (exe.rs:104-106).  We decouple: pass a
+        # larger k to get more trace rows than 2^(W/2) (BASELINE configs
+        # 3-5 need 2^16+-step traces).
         self.table_len = 1 << (word_bits // 2)
-        # circuit size: reference uses k = 2 + WORD_BITS/2 (test_utils.rs:20)
-        self.k = 2 + word_bits // 2
+        default_k = 2 + word_bits // 2
+        self.k = default_k if k is None else k
+        assert self.k >= default_k, "need 2^(W/2) rows for the range table"
+        if self.k > default_k:
+            # the W-bit even-bits range checks on m_time_inc require time
+            # deltas (< trace length < n) to fit in W bits
+            assert word_bits >= self.k, (
+                f"decoupled rows need 2^W >= n (W={word_bits}, k={self.k})"
+            )
         self.n = 1 << self.k
         self.cs = ConstraintSystem()
         # zero-knowledge: reserve blinding rows (advice opened at ≤2 points
         # each; 6 leaves slack).  All gates/lookups are st-gated, so the
         # random rows live outside every constraint's support.
         self.cs.blinding_factors = 6
+        # s_table extent: all usable rows except the last (gates read
+        # next-row cells).  Trace/mem capacity = st_rows − 1 (a trailing
+        # in-table row keeps the end-transition gates anchored).
+        self.st_rows = self.cs.usable_rows(self.n) - 1
         self.pl_names = [
             s for s in sel_layout(reg_count)
             if not s.startswith("out.") and s != "shift_left"
@@ -201,11 +217,19 @@ class TinyRamCS:
             [fl * (Const(1) - tr), fl * a["pc"].cur(), fl * a["flag"].cur()]
             + [fl * a[f"reg{r}"].cur() for r in range(R)],
         )
-        big_r = Const(1 << 32)
+        # s_trace is a boolean contiguous prefix (exe.rs:170-193 intent,
+        # hardened): booleanness + no 0->1 restart close the trace-island
+        # and scaled-selector attacks; the end transition additionally
+        # pins the last trace row's opcode to Answer.  The former single
+        # gate leaned on `opcode`, which is free advice on tr=0 rows.
         cs.gate(
             "contiguous_trace",
-            st * (tr - tr_n) * (big_r - tr * (1 << 32) + a["opcode"].cur()
-                                - ANSWER_OPCODE),
+            [
+                st * tr * (tr - Const(1)),
+                st * (Const(1) - tr) * tr_n,
+                st * tr * (Const(1) - tr_n)
+                * (a["opcode"].cur() - ANSWER_OPCODE),
+            ],
         )
         cs.gate("trace_ends", f["last_row"].cur() * tr)
         cs.gate(
@@ -647,6 +671,24 @@ class TinyRamCS:
         cs.lookup("prog", inputs, tables)
 
 
+def _batch_inverse(vals: list[int], p: int) -> list[int]:
+    """Modular inverses of a list (inv(0) = 0) via Montgomery's trick."""
+    pref = []
+    acc = 1
+    for v in vals:
+        pref.append(acc)
+        if v % p:
+            acc = acc * v % p
+    inv = pow(acc, p - 2, p)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        v = vals[i] % p
+        if v:
+            out[i] = inv * pref[i] % p
+            inv = inv * v % p
+    return out
+
+
 # ---------------------------------------------------------------- witness
 
 KIND_CODES = {
@@ -703,7 +745,7 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
     n = tr_cs.n
     mask = (1 << W) - 1
     T = len(trace)
-    assert T <= tr_cs.table_len - 1, "trace too long for table"
+    assert T <= tr_cs.st_rows - 1, "trace too long for table"
 
     ld = _line_data(trace.prog, R)
     li = trace.inst_index  # (T,)
@@ -748,19 +790,23 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
         [np.where(a_val == 0, 0, rj_val // safe_a), borrow, borrow_ae],
         0,
     )
-    prod_full = rj_val * a_val
+    # W-bit × W-bit products overflow int64 at W = 32; split through
+    # uint64 and come back to int64 halves (< 2^W each)
+    prod_u = rj_val.astype(np.uint64) * a_val.astype(np.uint64)
+    prod_hi = (prod_u >> np.uint64(W)).astype(np.int64) & mask
+    prod_lo = prod_u.astype(np.int64) & mask
     s_eff = np.minimum(a_val, W)
     pow_shl = np.where(a_val >= W, 0, 1 << np.minimum(a_val, W - 1))
     pow_shr = 1 << (W - s_eff)
-    shl_res = (rj_val << s_eff) & mask
-    shr_res = rj_val >> s_eff
+    shl_u = rj_val.astype(np.uint64) << s_eff.astype(np.uint64)
+    shl_hi = (
+        (pow_shl.astype(np.uint64) * rj_val.astype(np.uint64)
+         - (shl_u & np.uint64(mask)))
+        >> np.uint64(W)
+    ).astype(np.int64)
     nd_c = np.select(
         [is_op("Mull"), is_op("Cmpe"), is_op("Shl")],
-        [
-            (prod_full >> W) & mask,
-            ri_val ^ a_val,
-            (pow_shl * rj_val - shl_res) >> W,
-        ],
+        [prod_hi, ri_val ^ a_val, shl_hi],
         0,
     )
     sgn = lambda x: (x & ((1 << (W - 1)) - 1)) - (x & (1 << (W - 1)))
@@ -768,7 +814,7 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
     nd_d = np.select(
         [is_op("UMulh"), is_op("SMulh"), is_op("Shr")],
         [
-            prod_full & mask,
+            prod_lo,
             smul & mask,
             pow_shr * (rj_val & ((1 << s_eff) - 1)),
         ],
@@ -848,14 +894,18 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
         put(f"chk_{v}_e", e)
         put(f"chk_{v}_o", o)
 
-    # flag2 inverse witness (flag2.rs:61-74; deterministic here — inv(0)=0)
+    # flag2 inverse witness (flag2.rs:61-74; deterministic here — inv(0)=0).
+    # Montgomery batch inversion: one modpow + 3(T-1) mulmods for the whole
+    # column instead of a per-row Fermat pow.
     from ..field.jfield import FP
 
     flag2_active = sel_rows[:, sel_names.index("out.flag2")] == 1
     p = FP.modulus
     a_flag = np.zeros(n, dtype=object)
-    for t in np.nonzero(flag2_active)[0]:
-        a_flag[t] = pow(int(tvs["c"][t]) + int(flag_next[t]), p - 2, p)
+    rows_f2 = np.nonzero(flag2_active)[0]
+    vals = [int(tvs["c"][t]) + int(flag_next[t]) for t in rows_f2]
+    for t, inv in zip(rows_f2, _batch_inverse(vals, p)):
+        a_flag[t] = inv
     cols["a_flag"] = a_flag
 
     # r column: flag3 (UDiv/UMod) or shift residues
@@ -892,7 +942,7 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
         key=lambda ac: (ac.address, 0 if ac.kind == "init" else 1, ac.time),
     )
     M = len(order)
-    assert M <= tr_cs.table_len - 1, "memory access log too long for table"
+    assert M <= tr_cs.st_rows - 1, "memory access log too long for table"
     m = {nm: np.zeros(n, dtype=np.int64) for nm in (
         "m_s_trace", "m_addr", "m_time", "m_init", "m_store", "m_load",
         "m_value", "m_s_rw", "m_addr_inc", "m_time_inc",
@@ -941,11 +991,14 @@ def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
     def zero():
         return np.zeros(n, dtype=np.int64)
 
-    s_table = zero(); s_table[:tl] = 1
+    st_rows = tr_cs.st_rows
+    s_table = zero(); s_table[:st_rows] = 1
     first = zero(); first[0] = 1
-    last = zero(); last[tl - 1] = 1
+    last = zero(); last[st_rows - 1] = 1
     s_prog = zero(); s_prog[:tl] = 1
-    pc_fixed = zero(); pc_fixed[:tl] = np.arange(tl)
+    # doubles as the Exe time column (row + 1 on memory-op rows), so it
+    # spans every in-table row, not just the prog-table extent
+    pc_fixed = np.arange(n, dtype=np.int64)
     t_even = zero()
     t_even[:tl] = spread_np(np.arange(tl), W)
     pow_val = zero(); pow_mod = zero()
