@@ -93,6 +93,17 @@ def main():
     msm_rate = round(n_msm / dt)
     extra["msm_size"] = n_msm
 
+    # full-prover headline (BASELINE config 2), measured separately on the
+    # chip by scripts/bench_prover.py (a ~1h first-compile job, too slow to
+    # re-run inside this bench) and persisted to BENCH_PROVER.json
+    prover_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_PROVER.json")
+    if os.path.exists(prover_json):
+        with open(prover_json) as fh:
+            pr = json.load(fh)
+        extra["proof_seconds_config2"] = pr["value"]
+        extra["prover_detail"] = pr["extra"]
+
     # vs_baseline: ratio against our round-1 recorded number (BENCH_r01:
     # 175,658 pts/s at 2^12) — the reference publishes no numbers
     # (BASELINE.md `published: {}`), so round 1 is the baseline.

@@ -1,9 +1,6 @@
-"""Verify + benchmark the Pallas NTT on the real TPU chip.
+"""Benchmark the MXU digit-matmul NTT vs the Pallas VPU NTT on the chip.
 
-Usage: python scripts/verify_ntt_tpu.py [log_sizes ...]   (default 12 16 20)
-
-Checks ntt_pallas (kernel path) against the jnp ntt for each size, then
-times both.  Sync via device_get (axon: block_until_ready does not block).
+Usage: python scripts/bench_mxu_ntt.py [log_sizes ...]  (default 16 20)
 """
 
 import os
@@ -20,7 +17,7 @@ subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
 import jax  # noqa: E402
 
 from tinyram_tpu.field import FP  # noqa: E402
-from tinyram_tpu.poly import ntt  # noqa: E402
+from tinyram_tpu.poly.mxu_ntt import ntt_mxu  # noqa: E402
 from tinyram_tpu.poly.pallas_ntt import ntt_pallas  # noqa: E402
 
 
@@ -39,8 +36,8 @@ def _time(fn, *args, iters=3):
 
 
 def main():
-    logs = [int(a) for a in sys.argv[1:]] or [12, 16, 20]
-    print("device:", jax.devices()[0])
+    logs = [int(a) for a in sys.argv[1:]] or [16, 20]
+    print("device:", jax.devices()[0], flush=True)
     rng = np.random.default_rng(0)
     for lg in logs:
         n = 1 << lg
@@ -49,34 +46,28 @@ def main():
         a = jax.device_put(limbs)
 
         t0 = time.time()
-        got = ntt_pallas(FP, a, use_kernel=True)
+        got = ntt_mxu(FP, a)
         _sync(got)
-        print(f"2^{lg}: pallas first call (compile) {time.time()-t0:.1f}s")
-        # reference = the eager math twin (bit-identical math, no Pallas);
-        # ntt() itself dispatches to the kernel on TPU, so it is not an
-        # independent oracle anymore
-        want = ntt_pallas(FP, a, use_kernel=False)
+        print(f"2^{lg}: mxu first call (compile) {time.time()-t0:.1f}s",
+              flush=True)
+        want = ntt_pallas(FP, a, use_kernel=True)
         ok = bool(np.array_equal(np.asarray(jax.device_get(got)),
                                  np.asarray(jax.device_get(want))))
-        print(f"2^{lg}: match={ok}")
+        print(f"2^{lg}: match vs pallas = {ok}", flush=True)
         if not ok:
             sys.exit(1)
-
+        dt_m = _time(lambda x: ntt_mxu(FP, x), a)
         dt_p = _time(lambda x: ntt_pallas(FP, x, use_kernel=True), a)
-        dt_j = _time(lambda x: ntt_pallas(FP, x, use_kernel=False), a)
         print(
-            f"2^{lg}: pallas {n/dt_p/1e6:.1f}M elems/s   "
-            f"twin {n/dt_j/1e6:.1f}M elems/s   speedup {dt_j/dt_p:.1f}x"
+            f"2^{lg}: mxu {n/dt_m/1e6:.1f}M elems/s   "
+            f"pallas {n/dt_p/1e6:.1f}M elems/s   speedup {dt_p/dt_m:.2f}x",
+            flush=True,
         )
-
-        # inverse roundtrip
-        back = ntt_pallas(FP, got, inverse=True, use_kernel=True)
+        back = ntt_mxu(FP, got, inverse=True)
         ok = bool(np.array_equal(np.asarray(jax.device_get(back)),
                                  np.asarray(jax.device_get(a))))
-        print(f"2^{lg}: inverse roundtrip={ok}")
-        if not ok:
-            sys.exit(1)
-    print("ALL OK")
+        print(f"2^{lg}: inverse roundtrip = {ok}", flush=True)
+    print("ALL OK", flush=True)
 
 
 if __name__ == "__main__":

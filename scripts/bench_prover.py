@@ -1,0 +1,98 @@
+"""Full-prover benchmark on the real TPU chip (BASELINE config 2).
+
+Usage: python scripts/bench_prover.py [steps_log2=12] [word_bits=24]
+
+Proves a ~2^steps_log2-step arithmetic/bitwise TinyRAM trace at the given
+word size (k = 2 + W/2), verifies it, and prints a JSON line with total
+prover seconds plus the per-phase breakdown recorded by utils.profiling.
+First run on a fresh process includes XLA/Mosaic compiles — the second
+`prove` call is the steady-state number.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
+               check=False, capture_output=True)
+
+os.environ.setdefault("TINYRAM_PROFILE", "1")
+
+
+def main():
+    steps_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    word_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+
+    import jax
+
+    from tinyram_tpu.ipa import setup
+    from tinyram_tpu.tinyram import TinyRamCircuit, eval_program
+    from tinyram_tpu.tinyram.bench_programs import config2_program
+    from tinyram_tpu.utils.profiling import counters
+
+    print("device:", jax.devices()[0], flush=True)
+    prog = config2_program(1 << steps_log2)
+    t0 = time.time()
+    tr = eval_program(prog, word_bits, 8)
+    print(f"emulated {len(tr)} steps in {time.time()-t0:.2f}s", flush=True)
+
+    circ = TinyRamCircuit(word_bits, 8)
+    print(f"k={circ.k} n={circ.tcs.n} advice={circ.tcs.cs.num_advice} "
+          f"lookups={len(circ.tcs.cs.lookups)}", flush=True)
+    t0 = time.time()
+    srs = setup(circ.k)
+    print(f"srs: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    pk = circ.keygen(srs)
+    print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    asg = circ.assignment(tr)
+    witness_s = time.time() - t0
+    print(f"witness build: {witness_s:.1f}s", flush=True)
+
+    from tinyram_tpu.plonk import create_proof
+
+    t0 = time.time()
+    proof = create_proof(srs, pk, circ.assignment(tr))
+    first_s = time.time() - t0
+    print(f"prove (first, incl. compiles): {first_s:.1f}s", flush=True)
+
+    counters.ops.clear(); counters.seconds.clear()
+    t0 = time.time()
+    proof = create_proof(srs, pk, circ.assignment(tr))
+    steady_s = time.time() - t0
+    phases = {k.replace("prover.", ""): round(v, 2)
+              for k, v in counters.seconds.items()}
+
+    t0 = time.time()
+    ok = circ.verify(srs, pk, prog, tr.answer, proof)
+    verify_s = time.time() - t0
+    assert ok, "proof did not verify"
+
+    result = {
+        "metric": "proof_seconds_config2",
+        "value": round(steady_s, 2),
+        "unit": "s",
+        "extra": {
+            "steps": len(tr), "word_bits": word_bits, "k": circ.k,
+            "first_prove_s": round(first_s, 1),
+            "witness_s": round(witness_s, 1),
+            "verify_s": round(verify_s, 1),
+            "proof_bytes": len(proof),
+            "phases": phases,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result), flush=True)
+    # persist for bench.py to surface in the round's BENCH record
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_PROVER.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,4 +71,6 @@ def test_tinyram_layout_smoke():
     circ = TinyRamCircuit(8, 8)
     text = layout_summary(circ.tcs.cs)
     assert "lookup prog" in text
-    assert "required degree: 5" in text
+    # keep the printed degree in sync with the constraint system (the
+    # Exe↔Mem lookups raised it from 5 to 8)
+    assert f"required degree: {circ.tcs.cs.required_degree()}" in text

@@ -1,0 +1,90 @@
+"""End-to-end SHARDED create_proof on the 8-device CPU mesh.
+
+Round-2 milestone (VERDICT item 2): everything inside create_proof — NTT,
+commit MSMs, quotient evaluation, grand products — runs through the mesh
+(all-to-all 4-step NTT, point-sharded Pippenger, GSPMD row sharding), and
+the resulting proof verifies with the ordinary single-device verifier.
+k = 6 so the 4-step NTT split R = C = 8 is divisible by the 8 devices.
+"""
+
+import pytest
+
+from tinyram_tpu.field import FP
+from tinyram_tpu.ipa import setup
+from tinyram_tpu.plonk import (
+    Assignment,
+    ConstraintSystem,
+    MockProver,
+    create_proof,
+    keygen,
+    verify_proof,
+)
+from tinyram_tpu.shard import make_mesh
+
+K = 6
+N = 1 << K
+P = FP.modulus
+
+
+def build_cs():
+    """y = x² gate + a fixed-table range lookup + one copy constraint —
+    every argument family, tiny enough to prove on the CPU mesh."""
+    cs = ConstraintSystem()
+    q = cs.fixed_column("q")
+    t_rng = cs.fixed_column("t_rng")
+    x = cs.advice_column("x")
+    y = cs.advice_column("y")
+    pub = cs.instance_column("pub")
+    cs.blinding_factors = 4
+    qe, xe, ye = q.cur(), x.cur(), y.cur()
+    cs.gate("square", qe * (xe * xe - ye))
+    cs.gate("bind_pub", qe * (ye - pub.cur()))
+    cs.lookup("rng", [qe * xe], [t_rng.cur()])
+    cs.copy(x, 0, x, 1)  # x repeats on the first two rows
+    return cs, q, t_rng, x, y, pub
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    cs, q, t_rng, x, y, pub = build_cs()
+    srs = setup(K)
+    asg0 = Assignment(cs, N)
+    u = cs.usable_rows(N)
+    asg0.set(q, [1] * u + [0] * (N - u))
+    asg0.set(t_rng, list(range(16)) + [0] * (N - 16))
+    pk = keygen(srs, cs, asg0)
+    return cs, srs, pk, (q, t_rng, x, y, pub)
+
+
+def _witness(cs, cols, xs):
+    q, t_rng, x, y, pub = cols
+    u = cs.usable_rows(N)
+    asg = Assignment(cs, N)
+    asg.set(q, [1] * u + [0] * (N - u))
+    asg.set(t_rng, list(range(16)) + [0] * (N - 16))
+    asg.set(x, xs + [0] * (N - len(xs)))
+    asg.set(y, [v * v % P for v in xs] + [0] * (N - len(xs)))
+    asg.set(pub, [v * v % P for v in xs] + [0] * (N - len(xs)))
+    return asg
+
+
+@pytest.mark.slow
+def test_sharded_proof_verifies(sharded_setup):
+    cs, srs, pk, cols = sharded_setup
+    u = cs.usable_rows(N)
+    xs = [3, 3] + [(i * 7) % 16 for i in range(2, u)]
+    asg = _witness(cs, cols, xs)
+    assert MockProver(cs, asg).verify() == []
+    instance = [asg.instance[0]]
+
+    mesh = make_mesh(8)
+    proof = create_proof(srs, pk, _witness(cs, cols, xs), mesh=mesh)
+    assert verify_proof(srs, pk.vk, instance, proof), "sharded proof rejected"
+
+    # negative: wrong public input must fail
+    bad = _witness(cs, cols, xs)
+    vals = [v * v % P for v in xs] + [0] * (N - len(xs))
+    vals[0] = (vals[0] + 1) % P
+    bad.set(cols[4], vals)
+    bad_proof = create_proof(srs, pk, bad, mesh=mesh)
+    assert not verify_proof(srs, pk.vk, instance, bad_proof)

@@ -248,6 +248,20 @@ def test_tape_binding(circ8):
     vals[row] = 99
     asg_v.set(col, np.array(vals, dtype=np.int64))
     failures = MockProver(circ8.tcs.cs, asg_v).verify()
+    assert any(f.name.split("#")[0] in
+               ("tape_mem", "mem_tape", "exe_mem", "mem_exe",
+                "def.tm_value", "def.mm_value", "mem.table")
+               for f in failures), failures
+
+    # (d) coordinated attacker keeps the product columns consistent
+    # (tm_value = it·m_value) — the two-way tape lookup itself must fail
+    asg_w = circ8.assignment(tr)
+    for nm in ("m_value", "tm_value"):
+        col = circ8.tcs.col.advice[nm]
+        vals = FP.decode(asg_w.get(col))
+        vals[row] = 99
+        asg_w.set(col, np.array(vals, dtype=np.int64))
+    failures = MockProver(circ8.tcs.cs, asg_w).verify()
     assert any(f.name in ("tape_mem", "mem_tape", "exe_mem", "mem_exe")
                for f in failures), failures
 

@@ -65,3 +65,45 @@ def test_proof_memory_program(setup8):
     # tape binding: claiming a different public tape must fail
     assert not circ.verify(srs, pk, prog, 42, proof, primary=[40])
     assert not circ.verify(srs, pk, prog, 42, proof)
+
+
+def test_proof_w16():
+    """Real proof at W=16 / k=10 (reference proves at W ∈ {8,16,24} —
+    circuits/mod.rs:415-505; round 1 only ever proved W=8)."""
+    from tinyram_tpu.ipa import setup as _setup
+    from tinyram_tpu.tinyram import TinyRamCircuit as _C
+
+    circ = _C(16, 8)
+    srs = _setup(circ.k)
+    pk = circ.keygen(srs)
+    prog = [
+        I("Mov", ri=0, a=0xBEEF),
+        I("Mull", ri=1, rj=0, a=0x123),
+        I("Shr", ri=2, rj=1, a=5),
+        I("Cmpg", ri=2, a=0x7FFF),
+        I("CMov", ri=3, a=77),
+        I("Answer", areg=2),
+    ]
+    tr = eval_program(prog, 16, 8)
+    proof = circ.prove(srs, pk, tr)
+    assert circ.verify(srs, pk, prog, tr.answer, proof)
+    assert not circ.verify(srs, pk, prog, tr.answer + 1, proof)
+
+
+@pytest.mark.skipif(
+    "TINYRAM_TPU_TESTS" not in __import__("os").environ,
+    reason="W=24/k=14 proof takes hours on CPU; run on TPU via "
+    "scripts/bench_prover.py (which proves AND verifies config 2) or "
+    "set TINYRAM_TPU_TESTS=1",
+)
+def test_proof_w24():
+    from tinyram_tpu.ipa import setup as _setup
+    from tinyram_tpu.tinyram import TinyRamCircuit as _C
+    from tinyram_tpu.tinyram.bench_programs import config2_program
+
+    circ = _C(24, 8)
+    srs = _setup(circ.k)
+    pk = circ.keygen(srs)
+    tr = eval_program(config2_program(256), 24, 8)
+    proof = circ.prove(srs, pk, tr)
+    assert circ.verify(srs, pk, list(tr.prog), tr.answer, proof)

@@ -64,7 +64,10 @@ def _ops():
 # Peak per-group element budget: a group materializes ~3x (sorted points,
 # scan outputs, gathers) x 192 B/point, so 2^22 elements ~= 2.5 GB peak.
 _GROUP_ELEMS = 1 << 22
-_TARGET_LANES = 4096
+# Total lanes per scan step.  Each step is one fused point-add kernel at
+# this width; wider = fewer, larger kernel launches (the scan's step count
+# is n_pad / (lanes per window)).  32K lanes ≈ 6 MB live per step.
+_TARGET_LANES = 32768
 
 
 def choose_window_bits(n: int) -> int:
@@ -172,7 +175,9 @@ def _group_bucket_sums_inner(
         acc = _psel(s, acc, p)
         return acc, acc
 
-    _, ys = jax.lax.scan(step, vesta.identity((M,)), (same, sx, sy, sz))
+    _, ys = jax.lax.scan(
+        step, vesta.identity((M,)), (same, sx, sy, sz), unroll=2
+    )
     # ys: PointBatch of (L, 16, M) — within-chunk inclusive segment sums
 
     # ---- cross-chunk carry fixup (log-width over the chunk-lane axis)

@@ -158,16 +158,20 @@ class Field:
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product aR * bR -> abR (mod p)."""
         total = 2 * N_LIMBS  # 32 accumulation columns
-        prods = a[:, None] * b[None, :]  # (16, 16, *batch), wrap-free in u32
-        lo = prods & _MASK
-        hi = prods >> _SHIFT
-        batch = prods.shape[2:]
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        batch = shape[1:]
         acc = jnp.zeros((total,) + batch, U32)
+        # accumulate per-lhs-limb: peak temporaries stay (16, *batch)
+        # instead of one (16, 16, *batch) product tensor (at k=14 extended
+        # domains that tensor is tens of GB)
         for i in range(N_LIMBS):
+            prods = a[i][None] * b  # (16, *batch)
             acc = (
                 acc
-                + _pad_rows(lo[i], i, total)
-                + _pad_rows(hi[i], i + 1, total)
+                + _pad_rows(prods & _MASK, i, total)
+                + _pad_rows(prods >> _SHIFT, i + 1, total)
             )
         # interleaved Montgomery reduction
         nl = jnp.asarray(self._p).reshape((N_LIMBS,) + (1,) * len(batch))
@@ -187,27 +191,33 @@ class Field:
     def _mul_dispatch(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Route eligible multiplies to the fused Pallas kernel.
 
-        Opt-in via TINYRAM_PALLAS=1 on TPU backends; requires identical
-        operand shapes (no broadcasting) with a lane count divisible by a
-        supported block.  Everything else takes the jnp path.
+        Default ON for TPU backends (TINYRAM_NO_PALLAS=1 disables):
+        identical operand shapes flatten to (16, lanes) and run the whole
+        SOS Montgomery multiply in VMEM.  Everything else (broadcasts,
+        small batches, non-TPU) takes the jnp path.
         """
         import os
 
         if (
-            os.environ.get("TINYRAM_PALLAS")
+            not os.environ.get("TINYRAM_NO_PALLAS")
             and jax.default_backend() == "tpu"
             and a.shape == b.shape
-            and a.ndim == 2  # higher ranks (NTT stage shapes) regress
-            and a.shape[1] >= 2048
+            and a.ndim >= 2
         ):
-            n = a.shape[1]
-            for blk in (512, 256, 128):
-                if n % blk == 0:
-                    from .pallas_mul import _mul_pallas
+            lanes = 1
+            for d in a.shape[1:]:
+                lanes *= d
+            if lanes >= 2048:
+                for blk in (512, 256, 128):
+                    if lanes % blk == 0:
+                        from .pallas_mul import _mul_pallas
 
-                    return _mul_pallas(
-                        a, b, field_name=self.params.name, block=blk
-                    )
+                        out = _mul_pallas(
+                            a.reshape(N_LIMBS, lanes),
+                            b.reshape(N_LIMBS, lanes),
+                            field_name=self.params.name, block=blk,
+                        )
+                        return out.reshape(a.shape)
         return self.mul_jnp(a, b)
 
     def mul_jnp(self, a, b):

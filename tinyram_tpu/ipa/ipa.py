@@ -71,16 +71,10 @@ def commit(srs: SRS, coeffs: jnp.ndarray, blind: int = 0) -> AffinePoint:
     """Commit to a (16, m) Montgomery coefficient vector, m ≤ 2^k.
 
     ``blind`` adds blind·W (Pedersen term) for hiding commitments; 0 for
-    deterministic/public polynomials (fixed, sigma, instance)."""
-    m = coeffs.shape[-1]
-    assert m <= srs.n
-    if m < srs.n:
-        coeffs = jnp.concatenate([coeffs, FP.zeros((srs.n - m,))], axis=-1)
-    plain = FP.from_mont(coeffs)
-    base = to_affine_host(_single(_msm_dispatch(plain, srs.g)))[0]
-    if blind:
-        base = host.add(base, host.scalar_mul(blind % P, srs.w_host))
-    return base
+    deterministic/public polynomials (fixed, sigma, instance).  Routed
+    through commit_many so every commitment in a proof shares one
+    compiled MSM shape."""
+    return commit_many(srs, [coeffs], blinds=[blind])[0]
 
 
 def _single(p: PointBatch) -> PointBatch:
@@ -178,14 +172,22 @@ def open_poly(
     tw.write_scalar(blind)  # ξ_final
 
 
-def verify_open(
+def verify_open_deferred(
     srs: SRS,
     tr: TranscriptReader,
     commitment: AffinePoint,
     x: int,
     v: int,
-) -> bool:
-    """Verify an IPA opening.  Device MSM for ⟨s,G⟩, host group ops elsewhere."""
+):
+    """Parse an IPA opening and return its check as a deferred linear
+    relation: (g_scalars, terms) where the opening is valid iff
+
+        ⟨g_scalars, G⟩ + Σ (scalar · point) over terms == identity.
+
+    This is the accumulation primitive behind true batch verification
+    (the fork's `plonk::BatchVerifier`, test_utils.rs:56-61): N deferred
+    relations combine with random weights into ONE size-n MSM.
+    """
     k, n = srs.k, srs.n
     lrs = []
     us = []
@@ -217,34 +219,62 @@ def verify_open(
             tt >>= 1
         s_arr[t] = s[rt]
 
-    g0 = to_affine_host(
-        _single(msm(FP.encode(s_arr, to_mont=False), srs.g))
-    )[0]
     b0 = 0
     xi = 1
     for t in range(n):
         b0 = (b0 + s_arr[t] * xi) % P
         xi = xi * x % P
 
-    lhs = host.add(
-        host.scalar_mul(a0, g0),
-        host.scalar_mul(a0 * b0 % P, srs.u_host),
-    )
-    lhs = host.add(lhs, host.scalar_mul(xi_final, srs.w_host))
-    rhs = host.add(commitment, host.scalar_mul(v % P, srs.u_host))
+    # lhs − rhs == 0:
+    #   a0·⟨s,G⟩ + (a0·b0 − v)·U + ξ·W − C − Σ u²·L − Σ u⁻²·R
+    g_scalars = [a0 * st % P for st in s_arr]
+    terms = [
+        ((a0 * b0 - v) % P, srs.u_host),
+        (xi_final % P, srs.w_host),
+        (P - 1, commitment),
+    ]
     for (L, R), u in zip(lrs, us):
         u_inv = pow(u, P - 2, P)
-        rhs = host.add(rhs, host.scalar_mul(u * u % P, L))
-        rhs = host.add(rhs, host.scalar_mul(u_inv * u_inv % P, R))
-    return lhs == rhs
+        terms.append((P - u * u % P, L))
+        terms.append((P - u_inv * u_inv % P, R))
+    return g_scalars, terms
+
+
+def check_deferred(srs: SRS, g_scalars: list[int], terms: list) -> bool:
+    """Evaluate one deferred relation (or a random combination of many)."""
+    acc = to_affine_host(
+        _single(msm(FP.encode([s % P for s in g_scalars], to_mont=False),
+                    srs.g))
+    )[0]
+    for sc, pt in terms:
+        if sc % P and pt is not None:
+            acc = host.add(acc, host.scalar_mul(sc % P, pt))
+    return acc is None  # identity = None in affine host form
+
+
+def verify_open(
+    srs: SRS,
+    tr: TranscriptReader,
+    commitment: AffinePoint,
+    x: int,
+    v: int,
+) -> bool:
+    """Verify an IPA opening.  Device MSM for ⟨s,G⟩, host group ops elsewhere."""
+    g_scalars, terms = verify_open_deferred(srs, tr, commitment, x, v)
+    return check_deferred(srs, g_scalars, terms)
+
+
+# columns per fused MSM pass: bounds peak HBM (a chunk's gathered points
+# are ~W·B·n·192 bytes) and keeps the compiled shape count small — every
+# chunk is padded to exactly _COMMIT_CHUNK columns, so all commit calls of
+# one circuit share a single compiled program.
+_COMMIT_CHUNK = 64
 
 
 def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
-    """Commit to many (16, m) Montgomery coefficient vectors in one fused
-    batched-MSM pass (see curve.msm.msm_many).  ``blinds[i]`` adds a
+    """Commit to many (16, m) Montgomery coefficient vectors in fused
+    batched-MSM passes (see curve.msm.msm_many).  ``blinds[i]`` adds a
     blind·W hiding term per commitment."""
-    from ..curve.msm import msm_many
-
     if not coeff_list:
         return []
     n = srs.n
@@ -255,10 +285,22 @@ def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
         if m < n:
             c = jnp.concatenate([c, FP.zeros((n - m,))], axis=-1)
         padded.append(c)
-    stack = jnp.stack(padded, axis=1)  # (16, B, n)
-    plain = FP.from_mont(stack)
-    pts = _msm_dispatch(plain, srs.g)
-    out = to_affine_host(pts)
+    out = []
+    for lo in range(0, len(padded), _COMMIT_CHUNK):
+        chunk = padded[lo : lo + _COMMIT_CHUNK]
+        # pad the column count to a power of two (min 4): every commit
+        # call in a proof then hits one of a tiny set of compiled shapes
+        target = 4
+        while target < len(chunk):
+            target *= 2
+        pad_cols = target - len(chunk)
+        if pad_cols:
+            chunk = chunk + [chunk[0]] * pad_cols
+        stack = jnp.stack(chunk, axis=1)  # (16, B, n)
+        plain = FP.from_mont(stack)
+        pts = _msm_dispatch(plain, srs.g)
+        res = to_affine_host(pts)
+        out.extend(res[: len(res) - pad_cols] if pad_cols else res)
     if blinds is not None:
         out = [
             host.add(pt, host.scalar_mul(bl % P, srs.w_host)) if bl else pt

@@ -194,21 +194,15 @@ def create_proof(
     tw: TranscriptWriter | None = None, mesh=None,
 ) -> bytes:
     if mesh is not None:
-        # multi-chip mode: row-shard the witness columns over the mesh and
-        # activate the mesh context — Domain NTTs become the all-to-all
-        # 4-step transform, commit MSMs become point-sharded partials, and
-        # GSPMD partitions the elementwise phases (rolls become halo
-        # collective-permutes).  Single-source: same body either way.
-        import jax as _jax
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-
+        # multi-chip mode: activate the mesh context — Domain NTTs become
+        # the all-to-all 4-step transform and commit MSMs become
+        # point-sharded partials (shard/ntt.py, shard/msm.py).  These two
+        # phases are where ~all FLOPs live (SURVEY §3.3); the elementwise
+        # phases stay replicated — row-sharding them via device_put makes
+        # GSPMD partition every small eager op, a compile storm that
+        # dwarfs the compute at these sizes.  Single-source either way.
         from ..shard.context import mesh_context
 
-        rows = NamedSharding(mesh, _P(None, "chips"))
-        for cols in (asg.advice, asg.instance, asg.fixed):
-            for i, v in enumerate(cols):
-                if v is not None:
-                    cols[i] = _jax.device_put(v, rows)
         with mesh_context(mesh):
             return create_proof(srs, pk, asg, tw)
     cs = pk.vk.cs
@@ -450,9 +444,17 @@ def create_proof(
 
     constraints = []  # list of (16, n_ext) arrays, canonical order
     gate_cache: dict = {}
-    for g in cs.gates:
+    # evaluate gate polys in bounded slabs: stacking all ~400 of them at
+    # once materializes (16, B, n_ext) temporaries that exhaust HBM at
+    # k=14 (B·n_ext ≈ 25M lanes)
+    all_polys = [p for g in cs.gates for p in g.polys]
+    _GATE_SLAB = 48
+    for lo_i in range(0, len(all_polys), _GATE_SLAB):
         constraints.extend(
-            _eval_exprs_on([p for p in g.polys], ext_col, dom.n_ext, scale, gate_cache)
+            _eval_exprs_on(
+                all_polys[lo_i : lo_i + _GATE_SLAB], ext_col, dom.n_ext,
+                scale, gate_cache,
+            )
         )
     if perm_cols:
         z = ext(("zperm",))
@@ -507,13 +509,19 @@ def create_proof(
             FP.mul(active_ext, FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
         )
 
-    # fold constraints with y powers in one weighted tree-sum
+    # fold constraints with y powers, slab-wise (bounded peak memory)
     K = len(constraints)
-    y_weights = FP.encode([pow(y, K - 1 - i, P) for i in range(K)])[:, :, None]
-    c_stack = jnp.stack(
-        [jnp.broadcast_to(c, (16, dom.n_ext)) for c in constraints], axis=1
-    )
-    acc = tree_sum(FP, FP.mul(c_stack, y_weights), axis=1)
+    y_pows = [pow(y, K - 1 - i, P) for i in range(K)]
+    acc = None
+    _FOLD_SLAB = 48
+    for lo_i in range(0, K, _FOLD_SLAB):
+        chunk = constraints[lo_i : lo_i + _FOLD_SLAB]
+        w = FP.encode(y_pows[lo_i : lo_i + _FOLD_SLAB])[:, :, None]
+        c_stack = jnp.stack(
+            [jnp.broadcast_to(c, (16, dom.n_ext)) for c in chunk], axis=1
+        )
+        part = tree_sum(FP, FP.mul(c_stack, w), axis=1)
+        acc = part if acc is None else FP.add(acc, part)
 
     t0 = _phase("constraint ext eval", t0)
     q_ext = dom.divide_by_vanishing(acc)

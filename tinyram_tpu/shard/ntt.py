@@ -58,49 +58,66 @@ def _split_rc(log_n: int):
 def ntt_sharded(
     mesh: Mesh, a: jnp.ndarray, inverse: bool = False, field: Field = FP
 ) -> jnp.ndarray:
-    """Distributed NTT of (16, n) along the mesh's "chips" axis.
+    """Distributed NTT of (16, ..., n) along the mesh's "chips" axis.
 
-    Input/output are block-sharded on the last axis; output is in natural
-    order (inverse=True includes the 1/n scale).
+    Input/output are block-sharded on the last axis (leading batch dims
+    are replicated as given); output is in natural order (inverse=True
+    includes the 1/n scale).
     """
     n = a.shape[-1]
     log_n = n.bit_length() - 1
     assert (1 << log_n) == n
+    fn = _ntt_sharded_fn(mesh, field.params.name, log_n, inverse, a.ndim - 2)
+    tw = jnp.asarray(_twiddle_matrix(field.params.name, log_n, inverse))
+    return fn(a, tw)
+
+
+@lru_cache(maxsize=None)
+def _ntt_sharded_fn(
+    mesh: Mesh, field_name: str, log_n: int, inverse: bool, nb: int
+):
+    """Cached jitted shard_map program (a fresh closure per call would
+    defeat jax's compile cache — every prover NTT would recompile)."""
+    field = FP
+    assert field_name == "Fp"
     D = mesh.devices.size
     R, C = _split_rc(log_n)
     assert R % D == 0 and C % D == 0, f"mesh {D} must divide {R}x{C}"
-    tw = jnp.asarray(_twiddle_matrix(field.params.name, log_n, inverse))
 
     def local(a_blk, tw_blk):
+        lead = a_blk.shape[:-1]
+        ax = len(lead)  # index of the row axis once reshaped to (..., R/D, C)
         # block sharding of flat j = q·C + s gives each chip R/D complete
-        # q-rows: local (16, R/D, C)
-        a_mat = a_blk.reshape(16, -1, C)
-        # gather all q for a local s-chunk: (16, R/D, C) -> (16, R, C/D)
+        # q-rows: local (16, ..., R/D, C)
+        a_mat = a_blk.reshape(*lead, -1, C)
+        # gather all q for a local s-chunk: -> (16, ..., R, C/D)
         a_mat = jax.lax.all_to_all(
-            a_mat, "chips", split_axis=2, concat_axis=1, tiled=True
+            a_mat, "chips", split_axis=ax + 1, concat_axis=ax, tiled=True
         )
         # col NTTs (size R) along q
         f1 = jnp.moveaxis(
             ntt(field, jnp.moveaxis(a_mat, -2, -1), inverse), -1, -2
         )
-        f1 = field.mul(f1, tw_blk)  # ω^{su}, tw sharded on s
-        # redistribute: (16, R, C/D) -> (16, R/D, C)
+        twb = tw_blk.reshape(
+            (tw_blk.shape[0],) + (1,) * nb + tw_blk.shape[1:]
+        )
+        f1 = field.mul(f1, twb)  # ω^{su}, tw sharded on s
+        # redistribute: (16, ..., R, C/D) -> (16, ..., R/D, C)
         f1 = jax.lax.all_to_all(
-            f1, "chips", split_axis=1, concat_axis=2, tiled=True
+            f1, "chips", split_axis=ax, concat_axis=ax + 1, tiled=True
         )
         f2 = ntt(field, f1, inverse)  # row NTTs (size C); local 1/R·1/C = 1/n
         # natural order A[t·R+u]: transpose to [t, u] and reshard on t
-        f2 = jnp.moveaxis(f2, -1, -2)  # (16, C, R/D)
+        f2 = jnp.moveaxis(f2, -1, -2)  # (16, ..., C, R/D)
         f2 = jax.lax.all_to_all(
-            f2, "chips", split_axis=1, concat_axis=2, tiled=True
+            f2, "chips", split_axis=ax, concat_axis=ax + 1, tiled=True
         )
-        # (16, C/D, R): local flat t_l·R + u is the natural block ✓
-        return f2.reshape(16, -1)
+        # (16, ..., C/D, R): local flat t_l·R + u is the natural block ✓
+        return f2.reshape(*lead, -1)
 
-    spec = P(None, "chips")
+    spec = P(*([None] * (nb + 1) + ["chips"]))
     tw_spec = P(None, None, "chips")
-    fn = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(spec, tw_spec), out_specs=spec,
         check_rep=False,
-    )
-    return fn(a, tw)
+    ))

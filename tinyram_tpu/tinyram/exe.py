@@ -124,6 +124,7 @@ class TinyRamCS:
         f, a, i = {}, {}, {}
         for name in (
             "s_table", "first_line", "last_row", "s_prog", "pc_fixed",
+            "prog_pc", "st_pad",
             "t_even",
             "pow_val", "pow_mod",          # 2^i mod 2^W, i ∈ [0, W]
             "pow_exact_val", "pow_exact",  # 2^i exact,   i ∈ [0, W]
@@ -178,6 +179,13 @@ class TinyRamCS:
             "m_addr_inc", "m_addr_inc_e", "m_addr_inc_o",
             "m_time_inc", "m_time_inc_e", "m_time_inc_o",
             "m_in_tape", "m_in_aux",
+            # degree-1 product columns for the link/tape lookups (keep the
+            # lookup identity at degree ≤ 5 so the extended domain is 4n,
+            # not 8n): mm_* = m_s_rw·m_*, tm_* = m_in_tape·m_*,
+            # au_addr = m_in_aux·m_addr — st-gated defining gates below,
+            # zeroed on the st-gap row by the st_pad gates.
+            "mm_addr", "mm_time", "mm_value", "mm_store",
+            "tm_addr", "tm_value", "au_addr",
         ):
             a[nm] = cs.advice_column(nm)
 
@@ -533,12 +541,54 @@ class TinyRamCS:
             ],
         )
 
+        # --- lookup product columns: mm_* = m_s_rw·m_*, tm_* = it·m_*,
+        # au_addr = ia·m_addr.  Defined on st rows; the st_pad gates pin
+        # the gating bits and products to 0 on the single row between the
+        # st extent and the ZK blinding region, so the degree-1 lookup
+        # tuples below cannot be forged there.
+        srw = a["m_s_rw"].cur()
+        for dst, src in (
+            ("mm_addr", a["m_addr"].cur()), ("mm_time", a["m_time"].cur()),
+            ("mm_value", a["m_value"].cur()), ("mm_store", a["m_store"].cur()),
+        ):
+            cs.gate(f"def.{dst}", st * (a[dst].cur() - srw * src))
+        cs.gate("def.tm_addr", st * (a["tm_addr"].cur() - it * a["m_addr"].cur()))
+        cs.gate("def.tm_value",
+                st * (a["tm_value"].cur() - it * a["m_value"].cur()))
+        cs.gate("def.au_addr", st * (a["au_addr"].cur() - ia * a["m_addr"].cur()))
+        pad = f["st_pad"].cur()
+        cs.gate(
+            "st_pad.zero",
+            [
+                pad * a[nm].cur()
+                for nm in (
+                    "mm_addr", "mm_time", "mm_value", "mm_store",
+                    "tm_addr", "tm_value", "au_addr",
+                    "m_s_rw", "m_in_tape", "m_in_aux",
+                    "s_mem_g", "is_store", "is_load", "s_trace",
+                )
+            ],
+        )
+
     # ------------------------------------------------------------- lookups
 
     def _build_lookups(self):
+        """Lookup arguments, all with identity degree ≤ 5 (extension 4n).
+
+        Degree discipline (round 2; the round-1 circuit reached degree 8
+        through doubly-gated tuples, doubling the extended domain): input
+        gating bits (out.*, shift_*, s_trace, s_mem_g, …) are pinned by
+        the Out lookup / trace gates on every row where they matter, so
+        the extra `st` factor is redundant for soundness — on rows where
+        a gating bit is genuinely free advice, a forged activation only
+        adds a vacuously-satisfiable membership constraint (the prover
+        can always pick a value that IS in the table; it never removes a
+        check from a real row).  Table sides with composite entries use
+        dedicated degree-1 product columns (mm_*, tm_*, au_addr) with
+        st-gated defining gates.
+        """
         cs = self.cs
         f, a, inst = self.col.fixed, self.col.advice, self.col.instance
-        st = f["s_table"].cur()
         tr = a["s_trace"].cur()
 
         def out(name):
@@ -552,7 +602,7 @@ class TinyRamCS:
 
         # even-bits range lookups (even_bits.rs:158-170) for every decomp
         for word, acts in self.eb_activations.items():
-            sel = st * acts_expr(acts)
+            sel = acts_expr(acts)
             for part in ("_e", "_o"):
                 cs.lookup(
                     f"eb.{word}{part}",
@@ -562,7 +612,7 @@ class TinyRamCS:
         # lsb spread-rest lookup (our fix; see _build_gates flag4)
         cs.lookup(
             "eb.q_lsb",
-            [st * out("flag4") * a["q_lsb"].cur()],
+            [out("flag4") * a["q_lsb"].cur()],
             [f["t_even"].cur()],
         )
 
@@ -571,7 +621,7 @@ class TinyRamCS:
             ("left", "pow_val", "pow_mod"),
             ("right", "pow_exact_val", "pow_exact"),
         ):
-            gate = st * a[f"shift_{tag}"].cur()
+            gate = a[f"shift_{tag}"].cur()
             cs.lookup(
                 f"pow.{tag}",
                 [
@@ -582,8 +632,10 @@ class TinyRamCS:
             )
 
         # Out lookup: opcode+1 -> out bits + continue + direction
-        # (out_table.rs:33-74 plus the direction columns)
-        s = st * tr
+        # (out_table.rs:33-74 plus the direction columns).  s_trace is
+        # boolean and pinned on every in-table row (contiguous_trace), so
+        # it gates alone.
+        s = tr
         inputs = [s * a["s_trace"].next(), s * (a["opcode"].cur() + 1)]
         tables = [f["ot_cont"].cur(), f["ot_opcode"].cur()]
         for o in OUT_NAMES:
@@ -595,9 +647,10 @@ class TinyRamCS:
                    f["ot_is_store"].cur(), f["ot_is_load"].cur()]
         cs.lookup("out", inputs, tables)
 
-        # mem increment range checks
+        # mem increment range checks (m_s_trace is boolean + contiguous
+        # via mem.contig)
         for w in ("m_addr_inc", "m_time_inc"):
-            dsel = st * a["m_s_trace"].cur()
+            dsel = a["m_s_trace"].cur()
             for part in ("_e", "_o"):
                 cs.lookup(
                     f"eb.{w}{part}",
@@ -609,22 +662,22 @@ class TinyRamCS:
         # (addr, time, value, is_store) equals the multiset of non-init Mem
         # rows.  Tuples are distinct (unique times), so mutual inclusion is
         # equality.  time on the Exe side is the fixed row index + 1.
-        # every advice-gated input carries the fixed st factor so that ZK
-        # blinding rows (random advice beyond the usable region) compress
-        # to the all-zero tuple, which every table side contains.
-        smg_g = st * a["s_mem_g"].cur()
-        srw_g = st * a["m_s_rw"].cur()
+        # Leading gate-bit tuple elements make inactive rows the all-zero
+        # tuple on both sides; the mem side is the degree-1 product columns.
+        smg = a["s_mem_g"].cur()
         exe_tuple = [
-            smg_g * a["address"].cur(),
-            smg_g * (f["pc_fixed"].cur() + 1),
-            smg_g * a["value"].cur(),
-            smg_g * a["is_store"].cur(),
+            smg,
+            smg * a["address"].cur(),
+            smg * (f["pc_fixed"].cur() + 1),
+            smg * a["value"].cur(),
+            smg * a["is_store"].cur(),
         ]
         mem_tuple = [
-            srw_g * a["m_addr"].cur(),
-            srw_g * a["m_time"].cur(),
-            srw_g * a["m_value"].cur(),
-            srw_g * a["m_store"].cur(),
+            a["m_s_rw"].cur(),
+            a["mm_addr"].cur(),
+            a["mm_time"].cur(),
+            a["mm_value"].cur(),
+            a["mm_store"].cur(),
         ]
         cs.lookup("exe_mem", exe_tuple, mem_tuple)
         cs.lookup("mem_exe", mem_tuple, exe_tuple)
@@ -636,38 +689,37 @@ class TinyRamCS:
         # need only address membership — their values are the private tape.
         it, ia = a["m_in_tape"].cur(), a["m_in_aux"].cur()
         tape_side = [
+            inst["t.act"].cur(),
             inst["t.act"].cur() * inst["t.addr"].cur(),
             inst["t.act"].cur() * inst["t.value"].cur(),
-            inst["t.act"].cur(),
         ]
-        mem_side = [
-            st * it * a["m_addr"].cur(),
-            st * it * a["m_value"].cur(),
-            st * it,
-        ]
+        mem_side = [it, a["tm_addr"].cur(), a["tm_value"].cur()]
         cs.lookup("tape_mem", tape_side, mem_side)
         cs.lookup("mem_tape", mem_side, tape_side)
         cs.lookup(
             "mem_aux",
-            [st * ia * a["m_addr"].cur(), st * ia],
+            [ia, a["au_addr"].cur()],
             [
-                inst["t.aux_act"].cur() * inst["t.aux_addr"].cur(),
                 inst["t.aux_act"].cur(),
+                inst["t.aux_act"].cur() * inst["t.aux_addr"].cur(),
             ],
         )
 
         # Prog dynamic lookup (prog.rs:163-193): every trace row's
         # (pc, opcode, immediate, selectors) is a row of the program table,
-        # whose table side lives directly in instance columns.
+        # whose table side lives directly in instance columns.  The table
+        # is NOT sp-gated: instead sp itself is tuple element 0, so rows
+        # beyond the prog extent form the all-zero tuple (prog_pc and the
+        # instance columns are zero there) which only tr = 0 input rows
+        # can match.
         sp = f["s_prog"].cur()
-        tr_g = st * tr
-        inputs = [tr_g * a["pc"].cur(), tr_g * a["opcode"].cur(),
-                  tr_g * a["immediate"].cur()]
-        tables = [sp * f["pc_fixed"].cur(), sp * inst["p.opcode"].cur(),
-                  sp * inst["p.immediate"].cur()]
+        inputs = [tr, tr * a["pc"].cur(), tr * a["opcode"].cur(),
+                  tr * a["immediate"].cur()]
+        tables = [sp, f["prog_pc"].cur(), inst["p.opcode"].cur(),
+                  inst["p.immediate"].cur()]
         for name in self.pl_names:
-            inputs.append(tr_g * a[f"pl.{name}"].cur())
-            tables.append(sp * inst[f"p.{name}"].cur())
+            inputs.append(tr * a[f"pl.{name}"].cur())
+            tables.append(inst[f"p.{name}"].cur())
         cs.lookup("prog", inputs, tables)
 
 
@@ -977,6 +1029,14 @@ def exe_witness(tr_cs: TinyRamCS, trace: Trace) -> dict[str, np.ndarray]:
         e, o = decomp_even_odd(m[w], W)
         m[f"{w}_e"] = e
         m[f"{w}_o"] = o
+    # degree-1 lookup product columns (see _build_lookups)
+    m["mm_addr"] = m["m_s_rw"] * m["m_addr"]
+    m["mm_time"] = m["m_s_rw"] * m["m_time"]
+    m["mm_value"] = m["m_s_rw"] * m["m_value"]
+    m["mm_store"] = m["m_s_rw"] * m["m_store"]
+    m["tm_addr"] = m["m_in_tape"] * m["m_addr"]
+    m["tm_value"] = m["m_in_tape"] * m["m_value"]
+    m["au_addr"] = m["m_in_aux"] * m["m_addr"]
     cols.update(m)
     return cols
 
@@ -992,13 +1052,20 @@ def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
         return np.zeros(n, dtype=np.int64)
 
     st_rows = tr_cs.st_rows
+    u = tr_cs.cs.usable_rows(n)
     s_table = zero(); s_table[:st_rows] = 1
     first = zero(); first[0] = 1
     last = zero(); last[st_rows - 1] = 1
     s_prog = zero(); s_prog[:tl] = 1
-    # doubles as the Exe time column (row + 1 on memory-op rows), so it
-    # spans every in-table row, not just the prog-table extent
+    # the Exe time column (row + 1 on memory-op rows): spans every
+    # in-table row
     pc_fixed = np.arange(n, dtype=np.int64)
+    # prog-table key: zero beyond the prog extent so those rows form the
+    # all-zero table tuple
+    prog_pc = zero(); prog_pc[:tl] = np.arange(tl)
+    # rows between the st extent and the ZK blinding region (st_pad gates
+    # zero the lookup gating bits there)
+    st_pad = zero(); st_pad[st_rows:u] = 1
     t_even = zero()
     t_even[:tl] = spread_np(np.arange(tl), W)
     pow_val = zero(); pow_mod = zero()
@@ -1036,7 +1103,8 @@ def fixed_columns(tr_cs: TinyRamCS) -> dict[str, np.ndarray]:
 
     cols.update(
         s_table=s_table, first_line=first, last_row=last, s_prog=s_prog,
-        pc_fixed=pc_fixed, t_even=t_even, pow_val=pow_val, pow_mod=pow_mod,
+        pc_fixed=pc_fixed, prog_pc=prog_pc, st_pad=st_pad,
+        t_even=t_even, pow_val=pow_val, pow_mod=pow_mod,
         pow_exact_val=pow_exact_val, pow_exact=pow_exact, **ot_cols,
     )
     return cols
