@@ -442,21 +442,56 @@ def create_proof(
     l_last_ext = dom.lagrange_sum_ext((u,))
     active_ext = FP.sub(one_ext, dom.lagrange_sum_ext(tuple(range(u, n))))
 
-    constraints = []  # list of (16, n_ext) arrays, canonical order
-    gate_cache: dict = {}
-    # evaluate gate polys in bounded slabs: stacking all ~400 of them at
-    # once materializes (16, B, n_ext) temporaries that exhaust HBM at
-    # k=14 (B·n_ext ≈ 25M lanes)
+    # constraints are STREAMED into the y-weighted fold: the canonical
+    # count K is known upfront, so each produced (16, n_ext) constraint is
+    # folded with its y^(K-1-i) weight and freed — keeping all ~460 of
+    # them live is ~2 GB at k=14 and exhausts HBM together with the
+    # extended-column cache.
     all_polys = [p for g in cs.gates for p in g.polys]
+    K = (
+        len(all_polys)
+        + (3 if perm_cols else 0)
+        + 5 * len(cs.lookups)
+    )
+    y_pows = [pow(y, K - 1 - i, P) for i in range(K)]
+    fold_state = {"acc": None, "i": 0, "pending": []}
+    _FOLD_SLAB = 48
+
+    def _flush_fold():
+        chunk = fold_state["pending"]
+        if not chunk:
+            return
+        i0 = fold_state["i"]
+        w = FP.encode(y_pows[i0 : i0 + len(chunk)])[:, :, None]
+        c_stack = jnp.stack(
+            [jnp.broadcast_to(c, (16, dom.n_ext)) for c in chunk], axis=1
+        )
+        part = tree_sum(FP, FP.mul(c_stack, w), axis=1)
+        fold_state["acc"] = (
+            part if fold_state["acc"] is None
+            else FP.add(fold_state["acc"], part)
+        )
+        fold_state["i"] = i0 + len(chunk)
+        fold_state["pending"] = []
+
+    def _fold(cs_list):
+        for c in cs_list:
+            fold_state["pending"].append(c)
+            if len(fold_state["pending"]) >= _FOLD_SLAB:
+                _flush_fold()
+
+    gate_cache: dict = {}
     _GATE_SLAB = 48
     for lo_i in range(0, len(all_polys), _GATE_SLAB):
-        constraints.extend(
+        _fold(
             _eval_exprs_on(
                 all_polys[lo_i : lo_i + _GATE_SLAB], ext_col, dom.n_ext,
                 scale, gate_cache,
             )
         )
+    gate_cache.clear()
     if perm_cols:
+        constraints = []
         z = ext(("zperm",))
         z_next = _rolled(z, 1, scale)
         constraints.append(FP.mul(l0_ext, FP.sub(z, one_ext)))
@@ -476,7 +511,9 @@ def create_proof(
                 right, FP.add(FP.add(v, FP.mul(_scalar(dj), x_ext)), gamma_d)
             )
         constraints.append(FP.mul(active_ext, FP.sub(left, right)))
+        _fold(constraints)
     for li, lk in enumerate(cs.lookups):
+        constraints = []
         cache = {}
         in_ext = _eval_exprs_on(lk.inputs, ext_col, dom.n_ext, scale, cache)
         tb_ext = _eval_exprs_on(lk.tables, ext_col, dom.n_ext, scale, cache)
@@ -508,20 +545,12 @@ def create_proof(
         constraints.append(
             FP.mul(active_ext, FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
         )
-
-    # fold constraints with y powers, slab-wise (bounded peak memory)
-    K = len(constraints)
-    y_pows = [pow(y, K - 1 - i, P) for i in range(K)]
-    acc = None
-    _FOLD_SLAB = 48
-    for lo_i in range(0, K, _FOLD_SLAB):
-        chunk = constraints[lo_i : lo_i + _FOLD_SLAB]
-        w = FP.encode(y_pows[lo_i : lo_i + _FOLD_SLAB])[:, :, None]
-        c_stack = jnp.stack(
-            [jnp.broadcast_to(c, (16, dom.n_ext)) for c in chunk], axis=1
-        )
-        part = tree_sum(FP, FP.mul(c_stack, w), axis=1)
-        acc = part if acc is None else FP.add(acc, part)
+        _fold(constraints)
+    _flush_fold()
+    assert fold_state["i"] == K, (fold_state["i"], K)
+    acc = fold_state["acc"]
+    # the extended-domain column cache (~2 GB at k=14) is dead past here
+    ext_cache.clear()
 
     t0 = _phase("constraint ext eval", t0)
     q_ext = dom.divide_by_vanishing(acc)
