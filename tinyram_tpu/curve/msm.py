@@ -408,6 +408,58 @@ def _bucket_sums_all(
     )
 
 
+# Lane budget below which the bit-serial small-MSM path is used instead of
+# Pippenger.  Pippenger's XLA graph (sort + segmented scan + carry fixup)
+# takes ~200 s to compile on CPU (and minutes on TPU); the bit-serial scan
+# compiles in seconds and its O(256·N) adds are irrelevant at these sizes.
+# This is what makes k≤8 test circuits and the multi-chip dryrun cheap.
+_SMALL_MSM_LANES = 1 << 15
+
+
+def _bits_msb_first(scalars_plain: jnp.ndarray) -> jnp.ndarray:
+    """(16, ...) plain limbs -> (256, ...) bool bits, MSB first."""
+    rows = []
+    for limb in range(N_LIMBS - 1, -1, -1):
+        for b in range(15, -1, -1):
+            rows.append((scalars_plain[limb] >> np.uint32(b)) & 1)
+    return jnp.stack(rows).astype(bool)
+
+
+@jax.jit
+def _msm_small_call(scalars_plain, points):
+    """Σ s_i·P_i for small N: per-lane double-and-add + one tree reduce."""
+    bits = _bits_msb_first(scalars_plain)  # (256, N)
+    _padd, _psel, _pdbl = _ops()
+
+    def step(acc, bit):
+        acc = _pdbl(acc)
+        return _psel(bit, points, acc), None
+
+    n = scalars_plain.shape[-1]
+    acc, _ = jax.lax.scan(step, vesta.identity((n,)), bits)
+    return _tree_reduce_last(acc)
+
+
+@jax.jit
+def _msm_many_small_call(scalars_plain, points):
+    """(16, B, N) small batched MSM: lanes (B, N), reduce over N."""
+    _, B, n = scalars_plain.shape
+    bits = _bits_msb_first(scalars_plain)  # (256, B, N)
+    pts_b = PointBatch(
+        jnp.broadcast_to(points.x[:, None], (N_LIMBS, B, n)),
+        jnp.broadcast_to(points.y[:, None], (N_LIMBS, B, n)),
+        jnp.broadcast_to(points.z[:, None], (N_LIMBS, B, n)),
+    )
+    _padd, _psel, _pdbl = _ops()
+
+    def step(acc, bit):
+        acc = _pdbl(acc)
+        return _psel(bit, pts_b, acc), None
+
+    acc, _ = jax.lax.scan(step, vesta.identity((B, n)), bits)
+    return _tree_reduce_last(acc)
+
+
 @partial(jax.jit, static_argnums=2)
 def _msm_call(scalars_plain, points, c):
     digits = scalar_digits(scalars_plain, c)  # (W, N)
@@ -429,6 +481,8 @@ def msm(
     Returns a single projective point (batch ()).
     """
     n = scalars_plain.shape[-1]
+    if n <= _SMALL_MSM_LANES:
+        return _msm_small_call(scalars_plain, points)
     c = window_bits or choose_window_bits(n)
     return _msm_call(scalars_plain, points, c)
 
@@ -449,6 +503,8 @@ def msm_many(
     Pippenger runs.
     """
     _, B, n = scalars_plain.shape
+    if B * n <= _SMALL_MSM_LANES:
+        return _msm_many_small_call(scalars_plain, points)
     c = window_bits or choose_window_bits(n)
     return _msm_many_call(scalars_plain, points, c)
 

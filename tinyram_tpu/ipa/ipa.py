@@ -25,9 +25,10 @@ the fork's exact framing is unvendored — SURVEY.md §7 hard part #1):
   verify: s_t = Π_j (u_j or u_j⁻¹ by bit j of t);  checks
     a₀·⟨s,G⟩ + a₀·⟨s,b⟩·U == P + v·U + Σ u_j²·L_j + u_j⁻²·R_j.
 
-Blinding note: this v1 instantiation is binding and correct but not yet
-zero-knowledge (no blinding terms); ZK blinding is tracked for a follow-up
-and slots into L/R and the final message in the standard way.
+Blinding note: openings ARE zero-knowledge — each round's L/R carries a
+fresh ξ·W Pedersen blind and the final message includes the collapsed
+blinding scalar ξ (see `open_poly`); `verify_open_deferred` checks the
+ξ·W term.  Commitments are hidden with blind·W in `commit`/`commit_many`.
 """
 
 from __future__ import annotations
@@ -201,33 +202,32 @@ def verify_open_deferred(
     xi_final = tr.read_scalar()
 
     # s vector: s = kron([u_0^{-1}, u_0], [u_1^{-1}, u_1], ...) — round 0
-    # controls the most significant bit of the index.
-    s = [1]
-    for u in us:
-        u_inv = pow(u, P - 2, P)
-        s = [si * u_inv % P for si in s] + [si * u % P for si in s]
+    # controls the most significant bit of the index.  Built by doubling
+    # over numpy object arrays (O(n) big-int mults in C-loop ufuncs; the
+    # pure-Python version was the whole verifier cost at k=14+).
+    u_invs = [pow(u, P - 2, P) for u in us]
+    s = np.array([1], dtype=object)
+    for u, u_inv in zip(us, u_invs):
+        s = np.concatenate([s * u_inv % P, s * u % P])
     # round j splits into lo|hi by the *top* bit: index bit (k-1-j).  The
     # construction above appends the u-branch for the most recently processed
     # round as the LOW bit, so reverse the bit order by reindexing.
-    s_arr = [0] * n
-    for t in range(n):
-        # bit-reverse t over k bits to match kron ordering
-        rt = 0
-        tt = t
-        for _ in range(k):
-            rt = (rt << 1) | (tt & 1)
-            tt >>= 1
-        s_arr[t] = s[rt]
+    t = np.arange(n, dtype=np.int64)
+    rt = np.zeros(n, dtype=np.int64)
+    for _ in range(k):
+        rt = (rt << 1) | (t & 1)
+        t >>= 1
+    s_arr = s[rt]
 
-    b0 = 0
-    xi = 1
-    for t in range(n):
-        b0 = (b0 + s_arr[t] * xi) % P
-        xi = xi * x % P
+    # b0 = Σ_t s_t x^t = Π_j (u_j^{-1} + u_j·x^{2^{k-1-j}})  — O(k), the
+    # standard IPA b(x) product form (bit (k-1-j) of t selects u_j).
+    b0 = 1
+    for j, (u, u_inv) in enumerate(zip(us, u_invs)):
+        b0 = b0 * (u_inv + u * pow(x % P, 1 << (k - 1 - j), P)) % P
 
     # lhs − rhs == 0:
     #   a0·⟨s,G⟩ + (a0·b0 − v)·U + ξ·W − C − Σ u²·L − Σ u⁻²·R
-    g_scalars = [a0 * st % P for st in s_arr]
+    g_scalars = s_arr * a0 % P
     terms = [
         ((a0 * b0 - v) % P, srs.u_host),
         (xi_final % P, srs.w_host),
@@ -240,11 +240,14 @@ def verify_open_deferred(
     return g_scalars, terms
 
 
-def check_deferred(srs: SRS, g_scalars: list[int], terms: list) -> bool:
-    """Evaluate one deferred relation (or a random combination of many)."""
+def check_deferred(srs: SRS, g_scalars, terms: list) -> bool:
+    """Evaluate one deferred relation (or a random combination of many).
+
+    ``g_scalars``: length-n sequence (list or numpy object array) of ints.
+    """
+    g_list = [int(s) % P for s in g_scalars]
     acc = to_affine_host(
-        _single(msm(FP.encode([s % P for s in g_scalars], to_mont=False),
-                    srs.g))
+        _single(msm(FP.encode(g_list, to_mont=False), srs.g))
     )[0]
     for sc, pt in terms:
         if sc % P and pt is not None:

@@ -44,13 +44,14 @@ class BatchVerifier:
                 return False
         if not deferred:
             return True
+        import numpy as np
+
         n = srs.n
-        combined_g = [0] * n
+        combined_g = np.zeros(n, dtype=object)
         combined_terms: list = []
         for g_scalars, terms in deferred:
             rho = secrets.randbelow(P - 1) + 1
-            for t in range(n):
-                combined_g[t] = (combined_g[t] + rho * g_scalars[t]) % P
+            combined_g = (combined_g + rho * np.asarray(g_scalars, dtype=object)) % P
             combined_terms.extend(
                 (rho * sc % P, pt) for sc, pt in terms
             )

@@ -60,6 +60,34 @@ class Lookup:
     tables: list[Expr]
 
 
+@dataclass
+class RangeLookup:
+    """A LogUp (log-derivative) membership argument: every `inputs[j]`
+    value on every usable row must appear in the single-column `table`.
+
+    Replaces k independent plookup arguments (k×(A',S',Z) commitments)
+    with ceil(k/4) helper columns + one multiplicity column + one running
+    sum — the Haböck log-derivative lookup:
+
+        Σ_rows Σ_j 1/(β + f_j) = Σ_rows m_r/(β + t_r).
+
+    Input expressions must be degree ≤ 1 (the batched helper identity
+    h·Π_j(β+f_j) = Σ_j Π_{l≠j}(β+f_l) has degree 1 + Σ deg f_j ≤ 5).
+    """
+
+    name: str
+    inputs: list[Expr]
+    table: Expr
+
+    BATCH = 4  # inputs per helper column (degree 1+4 = 5 identity)
+
+    def batches(self) -> list[list[Expr]]:
+        return [
+            self.inputs[i : i + self.BATCH]
+            for i in range(0, len(self.inputs), self.BATCH)
+        ]
+
+
 class ConstraintSystem:
     """Collects columns, gates, lookups and copy constraints."""
 
@@ -76,6 +104,7 @@ class ConstraintSystem:
         self.blinding_factors = 0
         self.gates: list[Gate] = []
         self.lookups: list[Lookup] = []
+        self.range_lookups: list[RangeLookup] = []
         # copy constraints: ((col, row), (col, row)) pairs
         self.copies: list[tuple[tuple[Column, int], tuple[Column, int]]] = []
         self.fixed_names: list[str] = []
@@ -117,6 +146,16 @@ class ConstraintSystem:
         assert len(inputs) == len(tables)
         self.lookups.append(Lookup(name, inputs, tables))
 
+    def range_lookup(self, name: str, inputs, table) -> None:
+        """Register a LogUp membership argument (see RangeLookup)."""
+        inputs = list(inputs)
+        assert inputs
+        for e in inputs:
+            assert e.degree() <= 1, (
+                f"range_lookup {name}: input degree {e.degree()} > 1"
+            )
+        self.range_lookups.append(RangeLookup(name, inputs, table))
+
     def copy(self, a: Column, a_row: int, b: Column, b_row: int) -> None:
         self.copies.append(((a, a_row), (b, b_row)))
 
@@ -145,6 +184,11 @@ class ConstraintSystem:
             tb_deg = max((e.degree() for e in lk.tables), default=1)
             # active(X) · (Z(ωX)(A'+β)(S'+γ) − Z(X)(A+β)(S+γ))
             d = max(d, 2 + in_deg + tb_deg, 3)
+        for rl in self.range_lookups:
+            # h·Π_j(β+f_j) − Σ_j Π_{l≠j}(β+f_l), ungated
+            d = max(d, 1 + sum(e.degree() for e in rl.batches()[0]))
+            # h_T·(β+t) − m
+            d = max(d, 1 + rl.table.degree())
         nperm = len(self.permutation_columns())
         if nperm:
             # active(X) · Z · Π (v + β δ^j X + γ)

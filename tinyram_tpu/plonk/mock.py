@@ -121,6 +121,32 @@ class MockProver:
                     )
                     break
 
+        # range lookups (LogUp arguments): every input value on every
+        # usable row must be a member of the table column's usable rows
+        for rl in self.cs.range_lookups:
+            cache = {}
+            t_vals = np.asarray(
+                _decode_col(_eval_expr_lagrange(rl.table, asg, cache))[:u]
+            )
+            t_set = set(t_vals.tolist())
+            for ei, e in enumerate(rl.inputs):
+                vals = _decode_col(_eval_expr_lagrange(e, asg, cache))[:u]
+                arr = np.asarray(vals)
+                if arr.dtype != object and t_vals.dtype != object:
+                    bad = ~np.isin(arr, t_vals)
+                    rows = np.nonzero(bad)[0]
+                else:
+                    rows = [r for r, v in enumerate(vals) if v not in t_set]
+                if len(rows):
+                    r0 = int(rows[0])
+                    failures.append(
+                        Failure(
+                            "lookup",
+                            f"{rl.name}[{ei}]",
+                            f"input row {r0} = {vals[r0]} not in table",
+                        )
+                    )
+
         # copy constraints
         for (a, ar), (b, br) in self.cs.copies:
             va = FP.decode(asg.get(a)[:, ar : ar + 1])[0]

@@ -9,8 +9,9 @@ lets the two sides here stay in lock-step.)
 Transcript layout (v1):
 
   vk commitments → instance commitments → advice commitments → θ →
-  per-lookup (A' commit, S' commit) → β, γ → z_perm commit →
-  per-lookup z commit → y → quotient chunk commits → x →
+  per-lookup (A' commit, S' commit) → per-range-lookup m commit → β, γ →
+  z_perm commit → per-lookup z commit → per-range-lookup (h_0…h_{B-1},
+  h_T, z) commits → y → quotient chunk commits → x →
   evaluations (schedule below) → multiopen (v, u, Q commit, z*, P_j(z*)…,
   s, IPA proof).
 
@@ -40,6 +41,9 @@ def queried_column_rotations(cs: ConstraintSystem):
     for lk in cs.lookups:
         exprs.extend(lk.inputs)
         exprs.extend(lk.tables)
+    for rl in cs.range_lookups:
+        exprs.extend(rl.inputs)
+        exprs.append(rl.table)
     out: dict[tuple[str, int], set[int]] = {}
     for v in queried_vars(exprs):
         out.setdefault((v.kind, v.index), set()).add(v.rotation)
@@ -82,6 +86,13 @@ def eval_schedule(cs: ConstraintSystem, n_sigma: int, n_chunks: int):
         slots.append(EvalSlot(("ls", li), 0, True))
         slots.append(EvalSlot(("lz", li), 0, True))
         slots.append(EvalSlot(("lz", li), 1, True))
+    for ri, rl in enumerate(cs.range_lookups):
+        for b in range(len(rl.batches())):
+            slots.append(EvalSlot(("rh", ri, b), 0, True))
+        slots.append(EvalSlot(("rt", ri), 0, True))
+        slots.append(EvalSlot(("rm", ri), 0, True))
+        slots.append(EvalSlot(("rz", ri), 0, True))
+        slots.append(EvalSlot(("rz", ri), 1, True))
     for c in range(n_chunks):
         slots.append(EvalSlot(("q", c), 0, True))
     return slots

@@ -66,6 +66,13 @@ def _grand_product(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _prefix_sum_exclusive(arr: jnp.ndarray) -> jnp.ndarray:
+    """[0, a0, a0+a1, …] along the last axis of (16, n)."""
+    inc = jax.lax.associative_scan(FP.add, arr, axis=-1)
+    return jnp.concatenate([FP.zeros((1,)), inc[:, :-1]], axis=-1)
+
+
+@jax.jit
 def _prefix_prod_exclusive_b(arr: jnp.ndarray) -> jnp.ndarray:
     """Batched exclusive prefix product over the last axis of (16, B, n)."""
     inc = jax.lax.associative_scan(FP.mul, arr, axis=-1)
@@ -346,6 +353,76 @@ def create_proof(
             tw.write_point(perm_comms[2 * li])
             tw.write_point(perm_comms[2 * li + 1])
 
+    # 2b. range lookups (LogUp): multiplicity columns committed before β.
+    # m[r] = #{(j, row) : f_j(row) == t(r), row < u}, counts assigned to the
+    # first table row holding each value (any split among duplicates is
+    # valid for Σ m_r/(β+t_r)).
+    range_data = []  # (in_stack (16,B,n), t_lag (16,n), m_lag (16,n))
+    if cs.range_lookups:
+        rl_stacks = []
+        for rl in cs.range_lookups:
+            cache: dict = {}
+            in_vals = _eval_exprs_on(rl.inputs, col_lag, n, 1, cache)
+            t_val = _eval_exprs_on([rl.table], col_lag, n, 1, cache)[0]
+            rl_stacks.append((jnp.stack(in_vals, axis=1), t_val))
+        # one fused from_mont + transfer for every range lookup's columns
+        all_cols = jnp.concatenate(
+            [jnp.concatenate([s, t[:, None]], axis=1) for s, t in rl_stacks],
+            axis=1,
+        )
+        host_cols = np.asarray(jax.device_get(FP.from_mont(all_cols[:, :, :u])))
+        m_lags = []
+        off = 0
+        for rl, (in_stack, t_lag) in zip(cs.range_lookups, rl_stacks):
+            nin = in_stack.shape[1]
+            h_in = host_cols[:, off : off + nin]
+            h_t = host_cols[:, off + nin]
+            off += nin + 1
+            cols64 = [_limbs_to_i64(h_in[:, j]) for j in range(nin)]
+            t64 = _limbs_to_i64(h_t)
+            if t64 is None or any(c is None for c in cols64):
+                from ..field.params import limbs_to_int
+
+                t64 = np.array(
+                    [limbs_to_int(h_t[:, i]) for i in range(u)], dtype=object
+                )
+                cols64 = [
+                    np.array(
+                        [limbs_to_int(h_in[:, j, i]) for i in range(u)],
+                        dtype=object,
+                    )
+                    for j in range(nin)
+                ]
+            invals = np.concatenate(cols64)
+            order = np.argsort(t64, kind="stable")
+            sorted_t = t64[order]
+            idx = np.searchsorted(sorted_t, invals, side="left")
+            ok = (idx < u) & (sorted_t[np.minimum(idx, u - 1)] == invals)
+            if not ok.all():
+                missing = invals[~ok][0]
+                raise ValueError(
+                    f"range_lookup {rl.name}: input {missing} not in table"
+                )
+            counts_sorted = np.bincount(idx, minlength=u)
+            m_arr = np.zeros(n, dtype=np.int64)
+            m_arr[order] = counts_sorted[:u]
+            m_lag = FP.encode(m_arr)
+            if bf > 0:
+                m_lag = m_lag.at[:, u:].set(FP.encode(_rand_tail(n - u)))
+            m_lags.append(m_lag)
+            range_data.append((in_stack, t_lag, m_lag))
+        m_stack = jnp.stack(m_lags, axis=1)
+        m_coeff = dom.lagrange_to_coeff(m_stack)
+        m_comms = commit_many(
+            srs,
+            [m_coeff[:, i] for i in range(m_coeff.shape[1])],
+            blinds=[_blind(("rm", ri)) for ri in range(len(cs.range_lookups))],
+        )
+        for ri in range(len(cs.range_lookups)):
+            lag[("rm", ri)] = m_lags[ri]
+            coeff[("rm", ri)] = m_coeff[:, ri]
+            tw.write_point(m_comms[ri])
+
     t0 = _phase("lookup permute+commit", t0)
     beta = tw.challenge()
     gamma = tw.challenge()
@@ -421,6 +498,61 @@ def create_proof(
             coeff[("lz", li)] = z_coeff[:, li]
             tw.write_point(z_comms[li])
 
+    # 4b. LogUp helpers + running sums: h_b = Σ_{j∈batch b} 1/(β+f_j),
+    # h_T = m/(β+t), z = exclusive prefix sum of (Σ_b h_b − h_T) over
+    # usable rows.  One fused Fermat inversion covers every denominator of
+    # every range lookup.
+    if range_data:
+        den_list = []
+        for in_stack, t_lag, _ in range_data:
+            den_list.append(FP.add(in_stack, beta_d[:, :, None]))
+            den_list.append(FP.add(t_lag, beta_d)[:, None])
+        invs = FP.inv(jnp.concatenate(den_list, axis=1))
+        row_mask = jnp.arange(n) < u
+        pids_order = []  # canonical commit order: per rl h_0.., h_T, z
+        cols = []
+        off = 0
+        for ri, (in_stack, t_lag, m_lag) in enumerate(range_data):
+            rl = cs.range_lookups[ri]
+            nin = in_stack.shape[1]
+            inv_in = invs[:, off : off + nin]
+            inv_t = invs[:, off + nin]
+            off += nin + 1
+            h_lags = []
+            j0 = 0
+            for batch in rl.batches():
+                h_lags.append(
+                    tree_sum(FP, inv_in[:, j0 : j0 + len(batch)], axis=1)
+                )
+                j0 += len(batch)
+            h_t = FP.mul(m_lag, inv_t)
+            contrib = h_lags[0]
+            for h in h_lags[1:]:
+                contrib = FP.add(contrib, h)
+            contrib = FP.sub(contrib, h_t)
+            contrib = jnp.where(row_mask, contrib, FP.zeros((n,)))
+            z = _prefix_sum_exclusive(contrib)
+            if bf > 0:
+                z = z.at[:, u + 1 :].set(FP.encode(_rand_tail(n - u - 1)))
+            for b, h in enumerate(h_lags):
+                pids_order.append(("rh", ri, b))
+                cols.append(h)
+            pids_order.append(("rt", ri))
+            cols.append(h_t)
+            pids_order.append(("rz", ri))
+            cols.append(z)
+        r_stack = jnp.stack(cols, axis=1)
+        r_coeff = dom.lagrange_to_coeff(r_stack)
+        r_comms = commit_many(
+            srs,
+            [r_coeff[:, i] for i in range(r_coeff.shape[1])],
+            blinds=[_blind(pid) for pid in pids_order],
+        )
+        for i, pid in enumerate(pids_order):
+            lag[pid] = r_stack[:, i]
+            coeff[pid] = r_coeff[:, i]
+            tw.write_point(r_comms[i])
+
     t0 = _phase("grand products", t0)
     y = tw.challenge()
 
@@ -452,6 +584,7 @@ def create_proof(
         len(all_polys)
         + (3 if perm_cols else 0)
         + 5 * len(cs.lookups)
+        + sum(4 + len(rl.batches()) for rl in cs.range_lookups)
     )
     y_pows = [pow(y, K - 1 - i, P) for i in range(K)]
     fold_state = {"acc": None, "i": 0, "pending": []}
@@ -544,6 +677,54 @@ def create_proof(
         constraints.append(FP.mul(l0_ext, FP.sub(ap, sp)))
         constraints.append(
             FP.mul(active_ext, FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
+        )
+        _fold(constraints)
+    for ri, rl in enumerate(cs.range_lookups):
+        constraints = []
+        cache = {}
+        in_ext = _eval_exprs_on(rl.inputs, ext_col, dom.n_ext, scale, cache)
+        t_ext = _eval_exprs_on([rl.table], ext_col, dom.n_ext, scale, cache)[0]
+        z = ext(("rz", ri))
+        z_next = _rolled(z, 1, scale)
+        m_ext = ext(("rm", ri))
+        ht_ext = ext(("rt", ri))
+        batches = rl.batches()
+        h_exts = [ext(("rh", ri, b)) for b in range(len(batches))]
+        # z(0) = 0; z(u) = 0 (the LogUp sum closes); accumulation on [0,u)
+        constraints.append(FP.mul(l0_ext, z))
+        constraints.append(FP.mul(l_last_ext, z))
+        sum_h = h_exts[0]
+        for hh in h_exts[1:]:
+            sum_h = FP.add(sum_h, hh)
+        constraints.append(
+            FP.mul(
+                active_ext,
+                FP.sub(FP.sub(z_next, z), FP.sub(sum_h, ht_ext)),
+            )
+        )
+        # per batch (UNGATED, holds on all rows incl. blinding):
+        #   h_b·Π_j(β+f_j) − Σ_j Π_{l≠j}(β+f_l) = 0
+        j0 = 0
+        for b, batch in enumerate(batches):
+            ds = [FP.add(in_ext[j0 + j], beta_d) for j in range(len(batch))]
+            j0 += len(batch)
+            prod_all = ds[0]
+            for dd in ds[1:]:
+                prod_all = FP.mul(prod_all, dd)
+            excl = None
+            for j in range(len(ds)):
+                term = None
+                for l in range(len(ds)):
+                    if l == j:
+                        continue
+                    term = ds[l] if term is None else FP.mul(term, ds[l])
+                if term is None:  # batch of one: empty product = 1
+                    term = one_ext
+                excl = term if excl is None else FP.add(excl, term)
+            constraints.append(FP.sub(FP.mul(h_exts[b], prod_all), excl))
+        # table side (ungated): h_T·(β+t) − m = 0
+        constraints.append(
+            FP.sub(FP.mul(ht_ext, FP.add(t_ext, beta_d)), m_ext)
         )
         _fold(constraints)
     _flush_fold()

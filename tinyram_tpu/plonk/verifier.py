@@ -112,11 +112,21 @@ def _verify(
     lookup_comms = [
         (tr.read_point(), tr.read_point()) for _ in range(len(cs.lookups))
     ]
+    rm_comms = [tr.read_point() for _ in range(len(cs.range_lookups))]
     beta = tr.challenge()
     gamma = tr.challenge()
     perm_cols = vk.perm_columns
     zperm_comm = tr.read_point() if perm_cols else None
     lz_comms = [tr.read_point() for _ in range(len(cs.lookups))]
+    # per range lookup: h_0..h_{B-1}, h_T, z (canonical order, prover 4b)
+    range_comms = [
+        (
+            [tr.read_point() for _ in range(len(rl.batches()))],
+            tr.read_point(),
+            tr.read_point(),
+        )
+        for rl in cs.range_lookups
+    ]
     y = tr.challenge()
     n_chunks = 1 << (vk.extended_k - vk.k)
     q_comms = [tr.read_point() for _ in range(n_chunks)]
@@ -193,6 +203,38 @@ def _verify(
         constraints.append(
             active_x * ((ap_x - sp_x) % P) % P * ((ap_x - ap_prev) % P) % P
         )
+    for ri, rl in enumerate(cs.range_lookups):
+        batches = rl.batches()
+        z_x = evals[(("rz", ri), 0)]
+        z_wx = evals[(("rz", ri), 1)]
+        m_x = evals[(("rm", ri), 0)]
+        ht_x = evals[(("rt", ri), 0)]
+        h_xs = [evals[(("rh", ri, b), 0)] for b in range(len(batches))]
+        constraints.append(l0_x * z_x % P)
+        constraints.append(l_last_x * z_x % P)
+        constraints.append(
+            active_x * ((z_wx - z_x - sum(h_xs) + ht_x) % P) % P
+        )
+        j0 = 0
+        for b, batch in enumerate(batches):
+            ds = [
+                (beta + _host_eval_expr(rl.inputs[j0 + j], evals, points)) % P
+                for j in range(len(batch))
+            ]
+            j0 += len(batch)
+            prod_all = 1
+            for dd in ds:
+                prod_all = prod_all * dd % P
+            excl = 0
+            for j in range(len(ds)):
+                term = 1
+                for l in range(len(ds)):
+                    if l != j:
+                        term = term * ds[l] % P
+                excl = (excl + term) % P
+            constraints.append((h_xs[b] * prod_all - excl) % P)
+        t_x = _host_eval_expr(rl.table, evals, points)
+        constraints.append((ht_x * ((beta + t_x) % P) - m_x) % P)
 
     folded = constraints[0]
     for c in constraints[1:]:
@@ -224,6 +266,13 @@ def _verify(
         commitments[("ls", li)] = cs_
     for li, cm in enumerate(lz_comms):
         commitments[("lz", li)] = cm
+    for ri, cm in enumerate(rm_comms):
+        commitments[("rm", ri)] = cm
+    for ri, (h_cms, ht_cm, z_cm) in enumerate(range_comms):
+        for b, cm in enumerate(h_cms):
+            commitments[("rh", ri, b)] = cm
+        commitments[("rt", ri)] = ht_cm
+        commitments[("rz", ri)] = z_cm
     for c, cm in enumerate(q_comms):
         commitments[("q", c)] = cm
 

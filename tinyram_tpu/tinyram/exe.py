@@ -600,21 +600,18 @@ class TinyRamCS:
                 e = e + out(nm)
             return e
 
-        # even-bits range lookups (even_bits.rs:158-170) for every decomp
-        for word, acts in self.eb_activations.items():
-            sel = acts_expr(acts)
+        # even-bits range checks (even_bits.rs:158-170) for every decomp
+        # word — ONE LogUp argument instead of 21 plookups (round 3).
+        # Inputs are UNGATED: each _e/_o column is decomp_even_odd of an
+        # in-range word on every row (see exe_witness), so membership holds
+        # on inactive rows too — strictly stronger than the gated form,
+        # and degree-1 inputs keep the batched helper identity at degree 5.
+        eb_inputs = []
+        for word in self.eb_activations:
             for part in ("_e", "_o"):
-                cs.lookup(
-                    f"eb.{word}{part}",
-                    [sel * a[f"{word}{part}"].cur()],
-                    [f["t_even"].cur()],
-                )
-        # lsb spread-rest lookup (our fix; see _build_gates flag4)
-        cs.lookup(
-            "eb.q_lsb",
-            [out("flag4") * a["q_lsb"].cur()],
-            [f["t_even"].cur()],
-        )
+                eb_inputs.append(a[f"{word}{part}"].cur())
+        # lsb spread-rest check (our fix; see _build_gates flag4)
+        eb_inputs.append(a["q_lsb"].cur())
 
         # pow lookups: Shl (mod table), Shr (exact table) — shift.rs:144-166
         for tag, table_val, table_pow in (
@@ -647,16 +644,13 @@ class TinyRamCS:
                    f["ot_is_store"].cur(), f["ot_is_load"].cur()]
         cs.lookup("out", inputs, tables)
 
-        # mem increment range checks (m_s_trace is boolean + contiguous
-        # via mem.contig)
+        # mem increment range checks ride the same LogUp argument (the inc
+        # decomp parts are valid spreads on every row; zero beyond the mem
+        # extent)
         for w in ("m_addr_inc", "m_time_inc"):
-            dsel = a["m_s_trace"].cur()
             for part in ("_e", "_o"):
-                cs.lookup(
-                    f"eb.{w}{part}",
-                    [dsel * a[f"{w}{part}"].cur()],
-                    [f["t_even"].cur()],
-                )
+                eb_inputs.append(a[f"{w}{part}"].cur())
+        cs.range_lookup("eb", eb_inputs, f["t_even"].cur())
 
         # Exe↔Mem two-way linking: the multiset of Exe memory-op tuples
         # (addr, time, value, is_store) equals the multiset of non-init Mem
