@@ -76,8 +76,10 @@ def main():
     dt = _time(lambda x: ntt(FP, x), c)
     extra["ntt_elems_per_s"] = round(n_ntt / dt)
     extra["ntt_size"] = n_ntt
+    extra["ntt_baseline_round"] = "r2 @2^20: 14.1M elems/s (same size)"
 
-    # --- MSM throughput
+    # --- MSM throughput (2^16 for the like-for-like headline ratio vs
+    # round 2's 451,408 pts/s @2^16, plus 2^20 — BASELINE config 4 scale)
     from tinyram_tpu.curve import PointBatch, from_affine_host
     from tinyram_tpu.curve.msm import msm
     from tinyram_tpu.ipa.srs import setup
@@ -92,6 +94,19 @@ def main():
     dt = _time(lambda s: msm(s, pts).x, sc, iters=2)
     msm_rate = round(n_msm / dt)
     extra["msm_size"] = n_msm
+    extra["msm_baseline_round"] = "r2 @2^16: 451408 pts/s (same size)"
+    log_msm2 = int(os.environ.get("BENCH_LOG_MSM2", "20"))
+    if log_msm2 > log_msm:
+        try:
+            srs2 = setup(log_msm2)
+            n2 = 1 << log_msm2
+            sc2_l = rng.integers(0, 1 << 16, size=(16, n2)).astype(np.uint32)
+            sc2_l[15] &= 0x3FFF
+            sc2 = jax.device_put(sc2_l)
+            dt2 = _time(lambda s: msm(s, srs2.g).x, sc2, iters=2)
+            extra[f"msm_points_per_s_2^{log_msm2}"] = round(n2 / dt2)
+        except Exception as e:
+            extra[f"msm_2^{log_msm2}"] = f"error: {type(e).__name__}"
 
     # full-prover headline (BASELINE config 2), measured separately on the
     # chip by scripts/bench_prover.py (a ~1h first-compile job, too slow to
@@ -104,14 +119,15 @@ def main():
         extra["proof_seconds_config2"] = pr["value"]
         extra["prover_detail"] = pr["extra"]
 
-    # vs_baseline: ratio against our round-1 recorded number (BENCH_r01:
-    # 175,658 pts/s at 2^12) — the reference publishes no numbers
-    # (BASELINE.md `published: {}`), so round 1 is the baseline.
+    # vs_baseline: SAME-SIZE ratio against round 2's recorded 451,408
+    # pts/s @2^16 (the r2 artifact's 2.57 mixed 2^16 vs 2^12 — fixed per
+    # ADVICE r2) — the reference publishes no numbers (BASELINE.md
+    # `published: {}`), so our own prior round is the baseline.
     print(json.dumps({
         "metric": "msm_points_per_s",
         "value": msm_rate,
         "unit": "points/s",
-        "vs_baseline": round(msm_rate / 175658, 2),
+        "vs_baseline": round(msm_rate / 451408, 2),
         "extra": extra,
     }))
 

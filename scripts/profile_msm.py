@@ -68,8 +68,10 @@ def main():
     G, lanes, L, n_pad = M._plan(n, W)
     print(f"c={c} W={W} G={G} lanes={lanes} L={L}")
 
-    digits = timeit("digits", jax.jit(lambda s: M.scalar_digits(s, c)), sc)
-    dg = digits[:G]
+    digits, signs = timeit(
+        "signed digits", jax.jit(lambda s: M.signed_digits(s, c)), sc
+    )
+    dg, sg = digits[:G], signs[:G]
 
     sort = jax.jit(lambda d: jnp.argsort(d, axis=-1))
     order = timeit("argsort (G,N)", sort, dg)
@@ -77,16 +79,19 @@ def main():
     gather = jax.jit(lambda px, o: jnp.take(px, o, axis=-1))
     timeit("gather 1 coord (G,N)", gather, pts.x, order)
 
+    n_buckets = (1 << (c - 1)) + 1
     timeit(
         f"group_bucket_sums x{-(-W // G)}",
-        lambda d, p: M._group_bucket_sums(d, p, c, lanes, L),
-        dg, pts,
+        jax.jit(lambda d, s, p: M._group_bucket_sums_inner(
+            d, s, p, c, lanes, L, n_buckets
+        )),
+        dg, sg, pts,
     )
 
-    buckets = M._bucket_sums_all(digits, pts, c)
-    timeit("weighted_reduce",
-           lambda b: M._weighted_bucket_reduce(b, c), buckets)
-    wsums = M._weighted_bucket_reduce(buckets, c)
+    buckets = M._bucket_sums_all(digits, signs, pts, c)
+    wreduce = jax.jit(lambda b: M._weighted_bucket_reduce_signed(b, c))
+    timeit("weighted_reduce", wreduce, buckets)
+    wsums = wreduce(buckets)
     timeit("combine_windows",
            lambda w: M._combine_windows(w, c), wsums)
 

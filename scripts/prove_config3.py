@@ -1,0 +1,106 @@
+"""BASELINE config 3: a 2^16-step full-ISA TinyRAM trace (W=24).
+
+Stages (each gated so partial runs still record evidence):
+  1. emulate 2^16 steps, build the k=17 witness (surpasses the reference's
+     2^(W/2)-row ceiling, /root/reference/src/circuits/tables/exe.rs:104-106,
+     by 16x at W=24);
+  2. --mock: CPU mock-prove (no crypto) — config-3 capacity proof;
+  3. --prove: real proof + verify on the current backend (TPU chip),
+     writes BENCH_CONFIG3.json.
+
+Usage: python scripts/prove_config3.py [--mock] [--prove] [steps_log2=16]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
+               check=False, capture_output=True)
+
+MOCK = "--mock" in sys.argv
+PROVE = "--prove" in sys.argv
+if MOCK and not PROVE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+W = 24
+K = 17  # 2^16-step trace + memory log fit; word_bits=24 >= k=17
+
+
+def main():
+    steps_log2 = next(
+        (int(a) for a in sys.argv[1:] if a.isdigit()), 16
+    )
+    import jax
+
+    if MOCK and not PROVE:
+        jax.config.update("jax_platforms", "cpu")
+    from tinyram_tpu.tinyram import TinyRamCircuit, eval_program
+    from tinyram_tpu.tinyram.bench_programs import config3_program
+
+    print("device:", jax.devices()[0], flush=True)
+    prog = config3_program(1 << steps_log2, word_bits=W)
+    t0 = time.time()
+    tr = eval_program(prog, W, 8)
+    print(f"emulated {len(tr)} steps ({len(tr.accesses)} mem accesses) "
+          f"in {time.time()-t0:.2f}s", flush=True)
+
+    circ = TinyRamCircuit(W, 8, k=K)
+    print(f"k={circ.k} n={circ.tcs.n} advice={circ.tcs.cs.num_advice} "
+          f"lookups={len(circ.tcs.cs.lookups)} "
+          f"range={len(circ.tcs.cs.range_lookups)}", flush=True)
+    t0 = time.time()
+    asg = circ.assignment(tr)
+    print(f"witness build: {time.time()-t0:.1f}s", flush=True)
+
+    result = {"metric": "config3_2^16_steps", "value": len(tr),
+              "unit": "steps", "extra": {"k": K, "word_bits": W}}
+
+    if MOCK:
+        from tinyram_tpu.plonk import MockProver
+
+        t0 = time.time()
+        failures = MockProver(circ.tcs.cs, asg).verify()
+        dt = time.time() - t0
+        print(f"mock verify: {dt:.1f}s failures={len(failures)}", flush=True)
+        for f in failures[:10]:
+            print("  ", f, flush=True)
+        assert not failures, "config-3 witness does not satisfy the circuit"
+        result["extra"]["mock_seconds"] = round(dt, 1)
+
+    if PROVE:
+        from tinyram_tpu.ipa import setup
+        from tinyram_tpu.plonk import create_proof
+
+        t0 = time.time()
+        srs = setup(circ.k)
+        print(f"srs: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        pk = circ.keygen(srs)
+        print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        proof = create_proof(srs, pk, asg)
+        first_s = time.time() - t0
+        print(f"prove (first, incl. compiles): {first_s:.1f}s", flush=True)
+        t0 = time.time()
+        ok = circ.verify(srs, pk, prog, tr.answer, proof)
+        verify_s = time.time() - t0
+        print(f"verify: {verify_s:.1f}s ok={ok}", flush=True)
+        assert ok
+        result["extra"].update(
+            prove_first_s=round(first_s, 1),
+            verify_s=round(verify_s, 1),
+            proof_bytes=len(proof),
+        )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_CONFIG3.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,12 +36,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache (opt-in via TINYRAM_CACHE=1): it speeds up
-# repeated runs substantially, but this box's XLA:CPU AOT loader crashes
-# (segfault) reloading entries whose recorded machine features
-# (+prefer-no-scatter/+prefer-no-gather) mismatch the host — so it stays
-# off by default.
-if os.environ.get("TINYRAM_CACHE"):
+# Persistent compilation cache, ON by default for the CPU suite (round 3:
+# verified on this box — the XLA:CPU AOT loader only warns about the
+# +prefer-no-scatter/+prefer-no-gather tuning pseudo-features and loads
+# correctly; a warm run skips the ~200 s of Pippenger/prover compiles that
+# dominated the fast tier).  TINYRAM_NO_CACHE=1 opts out.
+if not os.environ.get("TINYRAM_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/tinyram_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -105,3 +105,96 @@ def test_forged_is_load_bit(circ8):
     failures = _mutate(circ8, tr, "is_load", 0, 0)
     assert any(f.name in ("out", "mem.gate_def", "exe_mem", "mem_exe")
                for f in failures), failures
+
+
+# ---- forged gating bits per de-gated lookup family (round 3, VERDICT
+# weak #8): the degree-5 de-gating argument says a forged activation bit on
+# a tr = 0 row only ADDS a membership constraint.  These tests forge each
+# family's gating bit together with an out-of-table payload and assert the
+# added membership constraint really is enforced (the prover cannot use a
+# forged activation to inject arbitrary tuples).
+
+
+def _mutate_many(circ, tr, updates):
+    asg = circ.assignment(tr)
+    for name, row, value in updates:
+        col = circ.tcs.col.advice[name]
+        vals = FP.decode(asg.get(col))
+        vals[row] = value
+        asg.set(col, np.array(vals, dtype=object))
+    return MockProver(circ.tcs.cs, asg).verify()
+
+
+def test_forged_pow_left_gating(circ8, base):
+    """shift_left forged on a padding row with an out-of-table pow key."""
+    _, tr = base
+    row = len(tr) + 1
+    failures = _mutate_many(
+        circ8, tr,
+        [("shift_left", row, 1), ("pow_key", row, 8 + 5), ("a_power", row, 3)],
+    )
+    assert any(f.name.startswith("pow.left") for f in failures), failures
+
+
+def test_forged_pow_right_gating(circ8, base):
+    _, tr = base
+    row = len(tr) + 1
+    failures = _mutate_many(
+        circ8, tr,
+        [("shift_right", row, 1), ("pow_key", row, 8 + 4), ("a_power", row, 1)],
+    )
+    assert any(f.name.startswith("pow.right") for f in failures), failures
+
+
+def test_forged_mem_gate_on_padding_row(circ8, base):
+    """s_mem_g forged beyond the trace: the Exe-side tuple (1, addr, t, v,
+    is_store) has no Mem-table counterpart."""
+    _, tr = base
+    row = len(tr) + 1
+    failures = _mutate_many(
+        circ8, tr,
+        [("s_mem_g", row, 1), ("address", row, 77), ("is_store", row, 1)],
+    )
+    assert any(
+        f.name in ("exe_mem", "mem_exe") or f.name.startswith("st_pad")
+        or f.name.startswith("mem.") for f in failures
+    ), failures
+
+
+def test_forged_in_tape_bit(circ8, base):
+    """m_in_tape forged on an empty Mem row: (1, addr, value) must appear
+    in the public tape instance, which is empty here."""
+    _, tr = base
+    row = len(tr) + 2
+    failures = _mutate_many(
+        circ8, tr,
+        [("m_in_tape", row, 1), ("tm_addr", row, 55)],
+    )
+    assert any(
+        f.name in ("tape_mem", "mem_tape") or f.name.startswith("mem.")
+        for f in failures
+    ), failures
+
+
+def test_forged_in_aux_bit(circ8, base):
+    """m_in_aux forged with an address outside the aux-tape region."""
+    _, tr = base
+    row = len(tr) + 2
+    failures = _mutate_many(
+        circ8, tr,
+        [("m_in_aux", row, 1), ("au_addr", row, 200)],
+    )
+    assert any(
+        f.name == "mem_aux" or f.name.startswith("mem.") for f in failures
+    ), failures
+
+
+def test_forged_out_bit_activates_checked_gadget(circ8, base):
+    """out.sum forged on a padding row: the Out lookup pins the whole out
+    vector to the opcode, so a lone forged activation bit is caught."""
+    _, tr = base
+    row = len(tr) + 1
+    failures = _mutate_many(circ8, tr, [("out.sum", row, 1)])
+    assert any(
+        f.name == "out" or f.name.startswith("st_pad") for f in failures
+    ), failures

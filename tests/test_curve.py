@@ -123,3 +123,33 @@ def test_msm_matches_host(n):
     )[0]
     want = host.msm(scalars, pts)
     assert got == want
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("c", [8, 11])
+def test_pippenger_signed_matches_host(c):
+    """Exercise the signed-digit Pippenger path directly (the public msm()
+    routes small N to the bit-serial path; real sizes hit this pipeline)."""
+    import jax.numpy as jnp
+
+    from tinyram_tpu.curve.msm import _msm_call, _msm_many_call
+
+    n = 128
+    pts = gen_points(n, seed=31)
+    rng = random.Random(32)
+    scalars = [rng.randrange(FP.modulus) for _ in range(n)]
+    scalars[:3] = [0, 1, FP.modulus - 1]
+    sc = FP.encode(scalars, to_mont=False)
+    got = to_affine_host(
+        PointBatch(
+            *[x[:, None] for x in _msm_call(sc, from_affine_host(pts), c)]
+        )
+    )[0]
+    assert got == host.msm(scalars, pts)
+
+    # batched variant: 2 scalar vectors against the same points
+    scalars2 = [rng.randrange(FP.modulus) for _ in range(n)]
+    sc2 = FP.encode(scalars2, to_mont=False)
+    both = jnp.stack([sc, sc2], axis=1)
+    got2 = to_affine_host(_msm_many_call(both, from_affine_host(pts), c))
+    assert got2 == [host.msm(scalars, pts), host.msm(scalars2, pts)]

@@ -36,6 +36,8 @@ CMP_OPS = ["Cmpe", "Cmpa", "Cmpae", "Cmpg", "Cmpge"]
 
 
 def _random_program(rng, n_instr=150, word_bits=16):
+    # the Prog table holds 2^(W/2) lines (prog.rs:137): W=8 caps at 16
+    n_instr = min(n_instr, (1 << (word_bits // 2)) - 2)
     mask = (1 << word_bits) - 1
     prog = []
     # seed some registers with random values
@@ -95,7 +97,7 @@ GADGET_CASES = [
     ("Shr", dict(ri=1, rj=0, a=3), "a_power", ("shift", "pow.")),
     ("Cmpg", dict(ri=0, a=5), "msb_a", ("signed", "ssum")),
     ("Cmpe", dict(ri=0, a=5), "a_flag", ("flag2",)),
-    ("UDiv", dict(ri=1, rj=0, a=9), "r", ("flag3", "decomp.r", "eb.r")),
+    ("UDiv", dict(ri=1, rj=0, a=9), "r", ("flag3", "decomp.r", "eb[")),
     ("Shr", dict(ri=1, rj=0, a=1), "lsb_b", ("flag4",)),
 ]
 
@@ -122,3 +124,48 @@ def test_gadget_tamper_caught(circ16, op, operands, column, expect):
     assert any(n.startswith(e) for n in names for e in expect), (
         f"expected one of {expect}, got {names}"
     )
+
+
+# ---- round 3: word-size breadth + volume (VERDICT item 8).  The fast
+# tier runs W=8 batches (k=6 compiles are cheap and shapes are shared with
+# the other W=8 modules); the slow tier replays the reference's proptest
+# depth: ~20 batches x W in {8, 16, 24}, ~150 random instructions each —
+# every gadget family sees >1000 random operand pairs across word sizes.
+
+@pytest.fixture(scope="module")
+def circ8():
+    return TinyRamCircuit(8, 8)
+
+
+@pytest.mark.parametrize("seed", [3, 5, 7, 11, 13])
+def test_random_gadget_batch_w8(circ8, seed):
+    rng = np.random.default_rng(seed)
+    prog = _random_program(rng, word_bits=8)
+    tr = eval_program(prog, 8, 8)
+    failures = circ8.mock_prove(tr)
+    assert failures == [], "\n".join(str(f) for f in failures[:10])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("word_bits,seed", [
+    (w, s)
+    for w in (8, 16, 24)
+    for s in (101, 103, 107, 109, 113, 127, 131, 137, 139, 149,
+              151, 157, 163, 167, 173, 179, 181, 191, 193, 197)
+])
+def test_random_gadget_batch_deep(word_bits, seed):
+    circ = _deep_circ(word_bits)
+    rng = np.random.default_rng(seed)
+    prog = _random_program(rng, word_bits=word_bits)
+    tr = eval_program(prog, word_bits, 8)
+    failures = circ.mock_prove(tr)
+    assert failures == [], "\n".join(str(f) for f in failures[:10])
+
+
+_DEEP_CIRCS = {}
+
+
+def _deep_circ(word_bits):
+    if word_bits not in _DEEP_CIRCS:
+        _DEEP_CIRCS[word_bits] = TinyRamCircuit(word_bits, 8)
+    return _DEEP_CIRCS[word_bits]

@@ -71,11 +71,12 @@ _TARGET_LANES = 32768
 
 
 def choose_window_bits(n: int) -> int:
-    """Minimize total adds: W(c) * (n + ~2.2 * 2^c) with W = ceil(256/c)."""
+    """Minimize total adds: W(c) * (n + ~2.2 * 2^(c-1)); signed digits
+    halve the bucket count (W = ceil(256/c))."""
     best_c, best_cost = 8, None
-    for c in range(6, 17):
+    for c in range(6, 18):
         w = -(-SCALAR_BITS // c)
-        cost = w * (n + 2.2 * (1 << c))
+        cost = w * (n + 2.2 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -98,8 +99,33 @@ def scalar_digits(scalars_plain: jnp.ndarray, c: int) -> jnp.ndarray:
         d = scalars_plain[i0] >> np.uint32(s)
         if s + c > 16 and i0 + 1 < N_LIMBS:
             d = d | (scalars_plain[i0 + 1] << np.uint32(16 - s))
+        if s + c > 32 and i0 + 2 < N_LIMBS:
+            d = d | (scalars_plain[i0 + 2] << np.uint32(32 - s))
         outs.append(d & mask)
     return jnp.stack(outs).astype(jnp.int32)
+
+
+def signed_digits(scalars_plain: jnp.ndarray, c: int):
+    """(16, ...) plain scalars -> (|d|, sign) with d ∈ [−2^(c−1), 2^(c−1)].
+
+    Standard signed-digit recoding: d'_w = d_w + carry; if d'_w > 2^(c−1)
+    subtract 2^c and carry 1 into window w+1.  Halves the bucket range of
+    the Pippenger pipeline (bucket = |d|, the point is negated when d < 0).
+    The top window never overflows: scalars are < p < 2^255 so its raw
+    digit is ≤ 2^(c−1) − 1 even after a carry.
+    """
+    d = scalar_digits(scalars_plain, c)  # (W, ...) int32 in [0, 2^c)
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def step(carry, dw):
+        dw = dw + carry
+        hi = dw > half
+        out = jnp.where(hi, dw - full, dw)
+        return hi.astype(jnp.int32), out
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(d[0]), d)
+    return jnp.abs(out), out < 0
 
 
 @lru_cache(maxsize=None)
@@ -122,23 +148,27 @@ def _shift_lanes(coord: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
 
 
 def _group_bucket_sums_inner(
-    digits_g: jnp.ndarray,  # (G, N) int32
+    digits_g: jnp.ndarray,  # (G, N) int32 bucket ids (|d| for signed)
+    signs_g: jnp.ndarray,  # (G, N) bool: negate the point in this window
     points: PointBatch,  # batch (N,)
     c: int,
     lanes_per_window: int,
     L: int,
+    n_buckets: int,
 ) -> PointBatch:
-    """Bucket sums for G digit vectors at once -> batch (G, 2^c + 1).
+    """Bucket sums for G digit vectors at once -> batch (G, n_buckets + 1).
 
-    Slot 2^c is the spill bucket (non-segment-end rows + padding).
+    Slot n_buckets is the spill bucket (non-segment-end rows + padding).
+    Signed-digit recoding: signs_g marks lanes whose point enters its
+    window's bucket negated (y -> -y).
     """
-    n_buckets = 1 << c
     spill = n_buckets
     G, n = digits_g.shape
     n_pad = lanes_per_window * L
     if n_pad != n:
         digits_g = jnp.pad(digits_g, ((0, 0), (0, n_pad - n)),
                            constant_values=spill)
+        signs_g = jnp.pad(signs_g, ((0, 0), (0, n_pad - n)))
         ident = vesta.identity((n_pad - n,))
         points = PointBatch(
             jnp.concatenate([points.x, ident.x], axis=-1),
@@ -148,9 +178,11 @@ def _group_bucket_sums_inner(
 
     order = jnp.argsort(digits_g, axis=-1)  # (G, n_pad)
     d_sorted = jnp.take_along_axis(digits_g, order, axis=-1)
+    s_sorted = jnp.take_along_axis(signs_g, order, axis=-1)
     px = jnp.take(points.x, order, axis=-1)  # (16, G, n_pad)
     py = jnp.take(points.y, order, axis=-1)
     pz = jnp.take(points.z, order, axis=-1)
+    py = jnp.where(s_sorted[None], FQ.neg(py), py)
 
     # global segment ends (computed before chunking)
     ends = jnp.concatenate(
@@ -256,7 +288,7 @@ def _group_bucket_sums_inner(
 def _weighted_bucket_reduce_inner(buckets: PointBatch, c: int) -> PointBatch:
     """Σ_{d=1}^{2^c - 1} d · B_d for all windows at once.
 
-    buckets: batch (W, 2^c + 1); spill slot excluded.  Splits d = hi·S + lo:
+    buckets: batch (W, ≥2^c); slots beyond 2^c excluded.  Splits d = hi·S+lo:
       Σ d·B = S·Σ_hi hi·T_hi  +  Σ_hi U_hi,
       T_hi = Σ_lo B[hi,lo],  U_hi = Σ_{lo≥1} Suf[hi,lo],
     with the lo-axis suffix sums done as a serial scan at full (W·H) width
@@ -299,6 +331,25 @@ def _weighted_bucket_reduce_inner(buckets: PointBatch, c: int) -> PointBatch:
     for _ in range(s_lo):
         X = _pdbl(X)
     return _padd(X, Y)
+
+
+def _weighted_bucket_reduce_signed(buckets: PointBatch, c: int) -> PointBatch:
+    """Σ_{d=1}^{2^(c−1)} d · B_d for signed-digit buckets.
+
+    buckets: batch (W, 2^(c−1) + 2) — ids 0..2^(c−1) plus the spill slot.
+    The range [1, 2^(c−1)) reuses the hi/lo reduction at c−1 bits; the top
+    bucket contributes 2^(c−1)·B via c−1 doublings.
+    """
+    half_bits = c - 1
+    half = 1 << half_bits
+    main = _weighted_bucket_reduce_inner(buckets, half_bits)
+    top = PointBatch(
+        buckets.x[..., half], buckets.y[..., half], buckets.z[..., half]
+    )
+    _padd, _psel, _pdbl = _ops()
+    for _ in range(half_bits):
+        top = _pdbl(top)
+    return _padd(main, top)
 
 
 def _suffix_weighted(T: PointBatch) -> PointBatch:
@@ -363,37 +414,37 @@ def _combine_windows_inner(window_sums: PointBatch, c: int) -> PointBatch:
     )
 
 
-_group_bucket_sums = partial(jax.jit, static_argnums=(2, 3, 4))(
-    _group_bucket_sums_inner
-)
-
-
-_weighted_bucket_reduce = partial(jax.jit, static_argnums=1)(
-    _weighted_bucket_reduce_inner
-)
 _combine_windows = partial(jax.jit, static_argnums=1)(_combine_windows_inner)
 
 
 def _bucket_sums_all(
-    digits: jnp.ndarray, points: PointBatch, c: int
+    digits: jnp.ndarray, signs: jnp.ndarray, points: PointBatch, c: int
 ) -> PointBatch:
-    """Bucket sums for every digit vector: (W_total, N) -> batch (W_total, B+1).
+    """Bucket sums for every digit vector: (W_total, N) bucket ids + signs
+    -> batch (W_total, 2^(c−1) + 2) (signed-digit range + spill slot).
 
     Groups bound peak memory; `lax.map` over groups compiles the group
     body once and runs groups sequentially (traceable inside jit).
     """
     w_total, n = digits.shape
+    n_buckets = (1 << (c - 1)) + 1  # ids 0..2^(c−1); spill index = n_buckets
     G, lanes, L, _ = _plan(n, w_total)
     n_groups = -(-w_total // G)
     if n_groups * G != w_total:  # pad with zero digit vectors
         digits = jnp.pad(digits, ((0, n_groups * G - w_total), (0, 0)))
+        signs = jnp.pad(signs, ((0, n_groups * G - w_total), (0, 0)))
     grouped = digits.reshape(n_groups, G, n)
+    grouped_s = signs.reshape(n_groups, G, n)
     if n_groups == 1:
-        out = _group_bucket_sums_inner(grouped[0], points, c, lanes, L)
+        out = _group_bucket_sums_inner(
+            grouped[0], grouped_s[0], points, c, lanes, L, n_buckets
+        )
     else:
         mapped = jax.lax.map(
-            lambda d: _group_bucket_sums_inner(d, points, c, lanes, L),
-            grouped,
+            lambda ds: _group_bucket_sums_inner(
+                ds[0], ds[1], points, c, lanes, L, n_buckets
+            ),
+            (grouped, grouped_s),
         )  # PointBatch of (n_groups, 16, G, B+1)
         out = PointBatch(
             *(
@@ -462,9 +513,9 @@ def _msm_many_small_call(scalars_plain, points):
 
 @partial(jax.jit, static_argnums=2)
 def _msm_call(scalars_plain, points, c):
-    digits = scalar_digits(scalars_plain, c)  # (W, N)
-    buckets = _bucket_sums_all(digits, points, c)
-    window_sums = _weighted_bucket_reduce_inner(buckets, c)
+    digits, signs = signed_digits(scalars_plain, c)  # (W, N)
+    buckets = _bucket_sums_all(digits, signs, points, c)
+    window_sums = _weighted_bucket_reduce_signed(buckets, c)
     return _combine_windows_inner(window_sums, c)
 
 
@@ -514,10 +565,11 @@ def _msm_many_call(scalars_plain, points, c):
     _, B, n = scalars_plain.shape
     n_windows = -(-SCALAR_BITS // c)
     # scalar_digits only indexes the limb axis, so it maps over (B, N)
-    digits = scalar_digits(scalars_plain, c)  # (W, B, N)
+    digits, signs = signed_digits(scalars_plain, c)  # (W, B, N)
     digits_flat = digits.transpose(1, 0, 2).reshape(B * n_windows, n)
-    buckets = _bucket_sums_all(digits_flat, points, c)
-    wsums = _weighted_bucket_reduce_inner(buckets, c)  # batch (B*W,)
+    signs_flat = signs.transpose(1, 0, 2).reshape(B * n_windows, n)
+    buckets = _bucket_sums_all(digits_flat, signs_flat, points, c)
+    wsums = _weighted_bucket_reduce_signed(buckets, c)  # batch (B*W,)
     per_col = PointBatch(
         wsums.x.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),
         wsums.y.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),

@@ -761,17 +761,22 @@ def create_proof(
         1: x * omega % P,
         -1: x * pow(omega, P - 2, P) % P,
     }
-    # batched evaluation: one fused eval per distinct point
+    # batched evaluation: one fused eval per distinct point, in bounded
+    # column chunks (a single stack of ~450 k=14 columns plus the Horner
+    # temporaries OOMs the chip — r3 fix)
+    _EVAL_SLAB = 64
     by_rot: dict[int, list] = {}
     for slot in slots:
         by_rot.setdefault(slot.rotation, []).append(slot)
     for rot, group in by_rot.items():
         zd = FP.encode([points[rot]])[:, 0]
-        stack_c = jnp.stack([coeff[s.pid] for s in group], axis=1)
-        vals_dev = eval_poly(FP, stack_c, zd)  # (16, B)
-        vals = FP.decode(vals_dev)
-        for s, val in zip(group, vals):
-            evals[(s.pid, s.rotation)] = val
+        for lo in range(0, len(group), _EVAL_SLAB):
+            chunk = group[lo : lo + _EVAL_SLAB]
+            stack_c = jnp.stack([coeff[s.pid] for s in chunk], axis=1)
+            vals_dev = eval_poly(FP, stack_c, zd)  # (16, B)
+            vals = FP.decode(vals_dev)
+            for s, val in zip(chunk, vals):
+                evals[(s.pid, s.rotation)] = val
     for slot in slots:
         if slot.opened:
             tw.write_scalar(evals[(slot.pid, slot.rotation)])
@@ -794,6 +799,7 @@ def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals, blinds=None)
 
     omega_tbl = jnp.asarray(dom.omega_powers())
     q_lag_total = None
+    _FOLD_SLAB = 64  # bound peak memory: stack at most 64 columns at once
     p_group = []  # (rot, P_lag, P_coeff, r_value)
     for rot in rot_order:
         group = [s for s in slots if s.opened and s.rotation == rot]
@@ -804,11 +810,19 @@ def multiopen_prove(srs, dom, tw, coeff, lag, slots, points, evals, blinds=None)
             weights.append(vi)
             r_val = (r_val + vi * evals[(s.pid, rot)]) % P
             vi = vi * v % P
-        w_dev = FP.encode(weights)[:, :, None]  # (16, B, 1)
-        lag_stack = jnp.stack([lag[s.pid] for s in group], axis=1)
-        coeff_stack = jnp.stack([coeff[s.pid] for s in group], axis=1)
-        p_lag = tree_sum(FP, FP.mul(lag_stack, w_dev), axis=1)
-        p_coeff = tree_sum(FP, FP.mul(coeff_stack, w_dev), axis=1)
+        p_lag = None
+        p_coeff = None
+        for lo in range(0, len(group), _FOLD_SLAB):
+            chunk = group[lo : lo + _FOLD_SLAB]
+            w_dev = FP.encode(weights[lo : lo + _FOLD_SLAB])[:, :, None]
+            lag_stack = jnp.stack([lag[s.pid] for s in chunk], axis=1)
+            part_lag = tree_sum(FP, FP.mul(lag_stack, w_dev), axis=1)
+            coeff_stack = jnp.stack([coeff[s.pid] for s in chunk], axis=1)
+            part_coeff = tree_sum(FP, FP.mul(coeff_stack, w_dev), axis=1)
+            p_lag = part_lag if p_lag is None else FP.add(p_lag, part_lag)
+            p_coeff = (
+                part_coeff if p_coeff is None else FP.add(p_coeff, part_coeff)
+            )
         p_blind = sum(
             w * blinds.get(s.pid, 0) for w, s in zip(weights, group)
         ) % P

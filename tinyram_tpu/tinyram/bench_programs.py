@@ -53,13 +53,21 @@ def config2_program(steps: int = 1 << 12) -> list:
     return prog
 
 
-def config3_program(steps: int = 1 << 16) -> list:
-    """Full-ISA mix incl. LoadW/StoreW and jumps (W = 32 target)."""
+def config3_program(steps: int = 1 << 16, word_bits: int = 32) -> list:
+    """Full-ISA mix incl. LoadW/StoreW and jumps (BASELINE config 3).
+
+    ``word_bits`` masks the immediates so the same program shape runs at
+    W = 24 (the round-3 2^16-step proof target) or W = 32."""
+    mask = (1 << word_bits) - 1
+
+    def m(v):
+        return v & mask
+
     body = [
         _i("StoreW", ri=1, a=64),
         _i("LoadW", ri=2, a=64),
-        _i("Add", ri=1, rj=2, a=0x9E3779B9),
-        _i("Mull", ri=3, rj=1, a=0x85EBCA6B),
+        _i("Add", ri=1, rj=2, a=m(0x9E3779B9)),
+        _i("Mull", ri=3, rj=1, a=m(0x85EBCA6B)),
         _i("StoreW", ri=3, a=128),
         _i("LoadW", ri=4, a=128),
         _i("Xor", ri=5, rj=4, areg=1),
@@ -68,7 +76,7 @@ def config3_program(steps: int = 1 << 16) -> list:
         _i("Or", ri=1, rj=1, areg=6),
         _i("UMulh", ri=2, rj=3, areg=7),
         _i("Cmpae", ri=2, areg=3),
-        _i("CMov", ri=3, a=0xDEADBEEF),
+        _i("CMov", ri=3, a=m(0xDEADBEEF)),
         _i("SMulh", ri=4, rj=3, areg=5),
         _i("UMod", ri=5, rj=4, a=251),
         _i("Cmpge", ri=6, areg=5),
