@@ -190,11 +190,20 @@ def test_forged_in_aux_bit(circ8, base):
 
 
 def test_forged_out_bit_activates_checked_gadget(circ8, base):
-    """out.sum forged on a padding row: the Out lookup pins the whole out
-    vector to the opcode, so a lone forged activation bit is caught."""
+    """The de-gating safety argument (exe.py _build_lookups docstring):
+    forging an activation bit on a padding row can only ADD constraints.
+    A lone forged out.sum with an all-zero payload is vacuously satisfied
+    (and that is sound); the same forgery with a payload violating the
+    activated gate must be caught."""
     _, tr = base
     row = len(tr) + 1
-    failures = _mutate_many(circ8, tr, [("out.sum", row, 1)])
+    # vacuous case: all-zero temps satisfy the activated sum gate
+    assert _mutate_many(circ8, tr, [("out.sum", row, 1)]) == []
+    # payload case: the activated gate is genuinely enforced
+    failures = _mutate_many(
+        circ8, tr, [("out.sum", row, 1), ("tv_a", row, 5)]
+    )
     assert any(
-        f.name == "out" or f.name.startswith("st_pad") for f in failures
+        f.name.startswith("sum") or f.name.startswith("decomp")
+        for f in failures
     ), failures

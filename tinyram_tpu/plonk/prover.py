@@ -142,6 +142,58 @@ def _compress(vals: list[jnp.ndarray], theta: int) -> jnp.ndarray:
     return acc
 
 
+import weakref
+
+# per-circuit jitted gate-slab fold programs: keyed weakly on the
+# ConstraintSystem so repeated create_proof calls (and every proof of the
+# same circuit) reuse one compiled program per slab instead of dispatching
+# thousands of eager ops — on the axon tunnel each eager op costs ~10 ms,
+# which made the quotient phase the slowest part of the k=14 prover.
+_GATE_FOLD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _gate_fold_fns(cs, n_ext: int, scale: int, slab: int):
+    """[(jitted fn(stack, w) -> (16, n_ext) partial, var_list)] per slab.
+
+    ``stack`` is (16, V, n_ext) — the slab's queried columns in var_list
+    order; ``w`` is (16, S, 1) — the y-fold weights for the slab's
+    constraints in order.
+    """
+    per_cs = _GATE_FOLD_CACHE.setdefault(cs, {})
+    key = (n_ext, scale, slab)
+    if key in per_cs:
+        return per_cs[key]
+    from .expr import queried_vars
+
+    all_polys = [p for g in cs.gates for p in g.polys]
+    fns = []
+    for lo in range(0, len(all_polys), slab):
+        exprs = all_polys[lo : lo + slab]
+        vars_ = sorted({(v.kind, v.index) for v in queried_vars(exprs)})
+        pos = {v: i for i, v in enumerate(vars_)}
+
+        def make(exprs=exprs, pos=pos):
+            def fn(stack, w):
+                def get_col(kind, index):
+                    return stack[:, pos[(kind, index)]]
+
+                outs = _eval_exprs_on(exprs, get_col, 0, scale, {})
+                c_stack = jnp.stack(
+                    [
+                        jnp.broadcast_to(c, (16, stack.shape[-1]))
+                        for c in outs
+                    ],
+                    axis=1,
+                )
+                return tree_sum(FP, FP.mul(c_stack, w), axis=1)
+
+            return jax.jit(fn)
+
+        fns.append((make(), vars_, len(exprs)))
+    per_cs[key] = fns
+    return fns
+
+
 def permute_lookup(a_vals: list[int], s_vals: list[int]):
     """halo2-0.2-style permuted (A', S') for the plookup product argument."""
     n = len(a_vals)
@@ -613,16 +665,20 @@ def create_proof(
             if len(fold_state["pending"]) >= _FOLD_SLAB:
                 _flush_fold()
 
-    gate_cache: dict = {}
+    # gates: one jitted program per slab (cached per circuit) — a single
+    # device dispatch instead of hundreds of eager ops per slab
     _GATE_SLAB = 48
-    for lo_i in range(0, len(all_polys), _GATE_SLAB):
-        _fold(
-            _eval_exprs_on(
-                all_polys[lo_i : lo_i + _GATE_SLAB], ext_col, dom.n_ext,
-                scale, gate_cache,
-            )
+    for fn, vars_, n_slab in _gate_fold_fns(cs, dom.n_ext, scale, _GATE_SLAB):
+        stack = jnp.stack([ext(v) for v in vars_], axis=1)
+        i0 = fold_state["i"] + len(fold_state["pending"])
+        w = FP.encode(y_pows[i0 : i0 + n_slab])[:, :, None]
+        _flush_fold()  # keep the weighted stream in canonical order
+        part = fn(stack, w)
+        fold_state["acc"] = (
+            part if fold_state["acc"] is None
+            else FP.add(fold_state["acc"], part)
         )
-    gate_cache.clear()
+        fold_state["i"] += n_slab
     if perm_cols:
         constraints = []
         z = ext(("zperm",))
