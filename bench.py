@@ -108,6 +108,39 @@ def main():
         except Exception as e:
             extra[f"msm_2^{log_msm2}"] = f"error: {type(e).__name__}"
 
+    # --- virtual-mesh scaling report (BASELINE "1 chip / 1 host / N host"
+    # axis: on this box the honest version is the 8-device virtual CPU mesh
+    # + the single-chip numbers above).  Runs in a subprocess so the TPU
+    # backend in this process is untouched.  BENCH_SCALING=0 skips.
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        code = (
+            "import os,json;"
+            "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+            "os.environ['JAX_PLATFORMS']='cpu';"
+            "import jax;jax.config.update('jax_platforms','cpu');"
+            "jax.config.update('jax_compilation_cache_dir','/tmp/tinyram_tpu_jax_cache');"
+            "jax.config.update('jax_persistent_cache_min_entry_size_bytes',-1);"
+            "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.3);"
+            "from tinyram_tpu.shard.scaling import scaling_report;"
+            "print('SCALING_JSON '+json.dumps(scaling_report()))"
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = next(
+                (l for l in out.stdout.splitlines()
+                 if l.startswith("SCALING_JSON ")), None,
+            )
+            extra["scaling_virtual_mesh"] = (
+                json.loads(line[len("SCALING_JSON "):]) if line
+                else f"no output (rc={out.returncode})"
+            )
+        except Exception as e:
+            extra["scaling_virtual_mesh"] = f"error: {type(e).__name__}"
+
     # full-prover headline (BASELINE config 2), measured separately on the
     # chip by scripts/bench_prover.py (a ~1h first-compile job, too slow to
     # re-run inside this bench) and persisted to BENCH_PROVER.json
@@ -118,6 +151,11 @@ def main():
             pr = json.load(fh)
         extra["proof_seconds_config2"] = pr["value"]
         extra["prover_detail"] = pr["extra"]
+    c3_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_CONFIG3.json")
+    if os.path.exists(c3_json):
+        with open(c3_json) as fh:
+            extra["config3_2^16_steps"] = json.load(fh)["extra"]
 
     # vs_baseline: SAME-SIZE ratio against round 2's recorded 451,408
     # pts/s @2^16 (the r2 artifact's 2.57 mixed 2^16 vs 2^12 — fixed per
