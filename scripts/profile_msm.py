@@ -77,7 +77,16 @@ def main():
     order = timeit("argsort (G,N)", sort, dg)
 
     gather = jax.jit(lambda px, o: jnp.take(px, o, axis=-1))
-    timeit("gather 1 coord (G,N)", gather, pts.x, order)
+    timeit("gather 1 coord minor-axis", gather, pts.x, order)
+
+    def gather_rows(px, py, pz, o):
+        G_, npad_ = o.shape
+        tbl = jnp.concatenate([px, py, pz], axis=0).T  # (n, 48)
+        g = jnp.take(tbl, o.reshape(-1), axis=0)
+        return jnp.moveaxis(g.reshape(G_, npad_, 48), -1, 0)
+
+    timeit("gather 3 coords row-major", jax.jit(gather_rows),
+           pts.x, pts.y, pts.z, order)
 
     n_buckets = (1 << (c - 1)) + 1
     timeit(
@@ -95,6 +104,8 @@ def main():
     timeit("combine_windows",
            lambda w: M._combine_windows(w, c), wsums)
 
+    out = timeit("full msm", lambda s: M.msm(s, pts), sc)
+    # timeit's steady pass excludes the end-to-end program's first compile
     t0 = time.time()
     out = M.msm(sc, pts)
     _sync(out.x)

@@ -79,6 +79,7 @@ def test_ipa_commit_open_verify(k):
     assert not verify_open(srs, tr2, cm, x, (v + 1) % FP.modulus)
 
 
+@pytest.mark.slow
 def test_ipa_short_poly_padding():
     srs = setup(4)
     rng = random.Random(90)

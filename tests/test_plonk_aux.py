@@ -29,6 +29,7 @@ def small_circuit():
     return cs, cols, srs, pk, asg, inst_v
 
 
+@pytest.mark.slow
 def test_batch_verifier(small_circuit):
     cs, cols, srs, pk, asg, inst_v = small_circuit
     proof = create_proof(srs, pk, asg)

@@ -59,6 +59,7 @@ def test_range_lookup_mock_catches_out_of_range():
     assert any("rng[2]" in f.name and "row 5" in f.detail for f in failures)
 
 
+@pytest.mark.slow
 def test_range_lookup_prove_verify_roundtrip():
     cs, t_rng, cols = _build()
     asg = _assign(cs, t_rng, cols, lambda ci, r: (5 * ci + 2 * r) % 16)
@@ -83,6 +84,7 @@ def test_range_lookup_prover_rejects_out_of_range():
         create_proof(srs, pk, asg)
 
 
+@pytest.mark.slow
 def test_range_lookup_forged_multiplicity_rejected():
     """A proof whose committed m doesn't satisfy h_T·(β+t) = m fails.
 
@@ -102,6 +104,7 @@ def test_range_lookup_forged_multiplicity_rejected():
     assert not verify_proof(srs, pk.vk, [], bytes(bad))
 
 
+@pytest.mark.slow
 def test_range_lookup_mixed_with_plookup():
     """Range lookup coexists with a tuple plookup in one circuit."""
     cs = ConstraintSystem()

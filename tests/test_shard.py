@@ -61,6 +61,7 @@ def test_msm_sharded_matches_single(mesh):
     assert got == want
 
 
+@pytest.mark.slow
 def test_scaling_report_smoke(mesh):
     """The 1→D scaling harness runs and reports sane efficiency numbers."""
     from tinyram_tpu.shard.scaling import scaling_report
@@ -70,3 +71,48 @@ def test_scaling_report_smoke(mesh):
     assert all(v > 0 for v in rep["ntt"].values())
     assert all(v > 0 for v in rep["msm"].values())
     assert rep["efficiency"]["ntt"][1] == 1.0
+
+
+def test_quotient_phase_sharding_propagates(mesh):
+    """Memory argument for k=18+ quotient evaluation on a real mesh
+    (VERDICT r2 item 6): in mesh mode the extended-coset columns come out
+    of the all-to-all 4-step NTT BLOCK-SHARDED on the row axis, and the
+    elementwise constraint fold keeps that sharding — so per-device HBM for
+    the quotient phase is n_ext/D per column, not n_ext (replication).
+    """
+    from tinyram_tpu.poly.domain import Domain
+    from tinyram_tpu.shard.context import mesh_context
+
+    k, ext_k = 6, 8
+    dom = Domain(FP, k, ext_k)
+    rng = random.Random(42)
+    col = FP.encode([rng.randrange(FP.modulus) for _ in range(1 << k)])
+
+    with mesh_context(mesh):
+        coeff = dom.lagrange_to_coeff(col)
+        ext = dom.coeff_to_extended(coeff)
+
+    def row_shards(arr):
+        spec = getattr(arr.sharding, "spec", None)
+        return spec is not None and "chips" in tuple(spec)
+
+    assert row_shards(ext), f"extended column not sharded: {ext.sharding}"
+    # one device holds 1/D of the rows, not a full copy
+    shard = next(iter(ext.addressable_shards))
+    assert shard.data.shape[-1] == ext.shape[-1] // mesh.devices.size
+
+    # elementwise gate math preserves the sharding (XLA computation
+    # follows sharding; no implicit all-gather back to one device)
+    prod = FP.mul(ext, FP.add(ext, ext))
+    assert row_shards(prod), f"gate eval gathered: {prod.sharding}"
+
+    # and a jitted slab-fold-style program keeps it sharded too
+    @jax.jit
+    def fold(x):
+        import jax.numpy as jnp
+
+        nxt = jnp.roll(x, -4, axis=-1)  # Rotation::next at scale 4
+        return FP.mul(x, FP.add(nxt, x))
+
+    out = fold(ext)
+    assert row_shards(out), f"jitted fold gathered: {out.sharding}"

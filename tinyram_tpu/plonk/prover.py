@@ -255,11 +255,15 @@ def create_proof(
     if mesh is not None:
         # multi-chip mode: activate the mesh context — Domain NTTs become
         # the all-to-all 4-step transform and commit MSMs become
-        # point-sharded partials (shard/ntt.py, shard/msm.py).  These two
-        # phases are where ~all FLOPs live (SURVEY §3.3); the elementwise
-        # phases stay replicated — row-sharding them via device_put makes
-        # GSPMD partition every small eager op, a compile storm that
-        # dwarfs the compute at these sizes.  Single-source either way.
+        # point-sharded partials (shard/ntt.py, shard/msm.py).  Those two
+        # phases are where ~all FLOPs live (SURVEY §3.3), and the NTT's
+        # shard_map out_specs make every transform OUTPUT block-sharded on
+        # the row axis — so the extended-coset columns (the quotient
+        # phase's ~2 GB at k=14) live at n_ext/D per device, and both the
+        # eager elementwise constraint math and the jitted slab folds
+        # keep that sharding (computation follows sharding; rolls become
+        # halo collectives).  See tests/test_shard.py::
+        # test_quotient_phase_sharding_propagates for the memory argument.
         from ..shard.context import mesh_context
 
         with mesh_context(mesh):

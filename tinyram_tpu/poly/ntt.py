@@ -82,7 +82,9 @@ def ntt(field: Field, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     Inverse: evals -> coeffs (including the 1/n scale).
 
     On TPU, transforms of ≥ 2^9 points route to the VMEM-resident Pallas
-    kernels (poly/pallas_ntt.py) — disable with TINYRAM_NO_PALLAS=1.
+    kernels (poly/pallas_ntt.py) — disable with TINYRAM_NO_PALLAS=1, or
+    set TINYRAM_NTT=mxu to route them to the int8 digit-matmul MXU path
+    (poly/mxu_ntt.py) instead; scripts/bench_mxu_ntt.py measures both.
     """
     import os
 
@@ -96,6 +98,10 @@ def ntt(field: Field, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         and jax.default_backend() == "tpu"
         and not os.environ.get("TINYRAM_NO_PALLAS")
     ):
+        if os.environ.get("TINYRAM_NTT") == "mxu":
+            from .mxu_ntt import ntt_mxu
+
+            return ntt_mxu(field, a, inverse=inverse)
         from .pallas_ntt import ntt_pallas
 
         return ntt_pallas(field, a, inverse=inverse, use_kernel=True)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..curve import PointBatch, vesta
 from ..curve.msm import choose_window_bits, msm
@@ -45,7 +45,7 @@ def _msm_sharded_fn(mesh: Mesh, c: int):
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -85,7 +85,7 @@ def _msm_many_sharded_fn(mesh: Mesh, B: int, c: int):
         in_specs=(P(None, None, "chips"), P(None, "chips"),
                   P(None, "chips"), P(None, "chips")),
         out_specs=P(None, None, None),
-        check_rep=False,
+        check_vma=False,
     ))
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..field.jfield import FP, Field
 from ..field.params import N_LIMBS, int_to_limbs
@@ -119,5 +119,5 @@ def _ntt_sharded_fn(
     tw_spec = P(None, None, "chips")
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(spec, tw_spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     ))
