@@ -179,17 +179,14 @@ def _group_bucket_sums_inner(
     order = jnp.argsort(digits_g, axis=-1)  # (G, n_pad)
     d_sorted = jnp.take_along_axis(digits_g, order, axis=-1)
     s_sorted = jnp.take_along_axis(signs_g, order, axis=-1)
-    # Row-major point gather: with the (16, n) limbs-major layout a lane
-    # gather is 48 strided 4-byte loads per point — measured ~6 GB/s on
-    # the chip, the MSM's dominant cost.  Gathering rows of an (n, 48)
-    # table instead moves one contiguous 192-byte row per point; the
-    # transposes on either side are streaming ops.
-    tbl = jnp.concatenate([points.x, points.y, points.z], axis=0).T
-    g = jnp.take(tbl, order.reshape(-1), axis=0)  # (G·n_pad, 48)
-    g = jnp.moveaxis(g.reshape(G, n_pad, 3 * N_LIMBS), -1, 0)
-    px = g[:N_LIMBS]  # (16, G, n_pad)
-    py = g[N_LIMBS : 2 * N_LIMBS]
-    pz = g[2 * N_LIMBS :]
+    # Minor-axis gathers: measured 44 ms/coord @2^20 on the chip.  A
+    # row-major (n, 48)-table gather with contiguous 192-byte rows was
+    # tried (round 3) and is 2x SLOWER end-to-end (249 ms for 3 coords;
+    # the transposes dominate) — XLA's TPU gather already vectorizes the
+    # shared index pattern across the 16 limb rows.
+    px = jnp.take(points.x, order, axis=-1)  # (16, G, n_pad)
+    py = jnp.take(points.y, order, axis=-1)
+    pz = jnp.take(points.z, order, axis=-1)
     py = jnp.where(s_sorted[None], FQ.neg(py), py)
 
     # global segment ends (computed before chunking)

@@ -144,27 +144,48 @@ def _compress(vals: list[jnp.ndarray], theta: int) -> jnp.ndarray:
 
 import weakref
 
-# per-circuit jitted gate-slab fold programs: keyed weakly on the
+# per-circuit jitted quotient-block fold programs: keyed weakly on the
 # ConstraintSystem so repeated create_proof calls (and every proof of the
-# same circuit) reuse one compiled program per slab instead of dispatching
-# thousands of eager ops — on the axon tunnel each eager op costs ~10 ms,
-# which made the quotient phase the slowest part of the k=14 prover.
+# same circuit) reuse one compiled program per block instead of
+# dispatching thousands of eager ops — on the axon tunnel each eager op
+# costs ~10 ms, which made the quotient phase the slowest part of the
+# k=14 prover.  Each block takes its queried columns in the COEFFICIENT
+# domain and lifts them to the extended coset inside the program
+# (pad + coset scale + NTT), so no extended-column cache ever lives in
+# HBM — peak extended-domain memory is one block's columns.
 _GATE_FOLD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_AUX_FOLD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _gate_fold_fns(cs, n_ext: int, scale: int, slab: int):
-    """[(jitted fn(stack, w) -> (16, n_ext) partial, var_list)] per slab.
+def _mesh_key():
+    from ..shard.context import current_mesh
 
-    ``stack`` is (16, V, n_ext) — the slab's queried columns in var_list
-    order; ``w`` is (16, S, 1) — the y-fold weights for the slab's
-    constraints in order.
+    return current_mesh()
+
+
+def _compress_traced(vals: list[jnp.ndarray], th: jnp.ndarray) -> jnp.ndarray:
+    """Σ θ^i v_i (Horner) with a traced scalar θ of shape (16, 1)."""
+    acc = vals[-1]
+    for v in reversed(vals[:-1]):
+        acc = FP.add(FP.mul(acc, th), v)
+    return acc
+
+
+def _gate_fold_fns(cs, dom, scale: int, slab: int):
+    """[(jitted fn(stack, w) -> (16, n_ext) partial, var_list, n)] per slab.
+
+    ``stack`` is (16, V, n) — the slab's queried columns in var_list order,
+    coefficient domain; ``w`` is (16, S, 1) — the y-fold weights for the
+    slab's constraints in order.  The program extends the stack to the
+    coset internally.
     """
     per_cs = _GATE_FOLD_CACHE.setdefault(cs, {})
-    key = (n_ext, scale, slab)
+    key = (dom.k, dom.extended_k, scale, slab, _mesh_key())
     if key in per_cs:
         return per_cs[key]
     from .expr import queried_vars
 
+    n_ext = dom.n_ext
     all_polys = [p for g in cs.gates for p in g.polys]
     fns = []
     for lo in range(0, len(all_polys), slab):
@@ -174,15 +195,14 @@ def _gate_fold_fns(cs, n_ext: int, scale: int, slab: int):
 
         def make(exprs=exprs, pos=pos):
             def fn(stack, w):
+                ext = dom.coeff_to_extended(stack)
+
                 def get_col(kind, index):
-                    return stack[:, pos[(kind, index)]]
+                    return ext[:, pos[(kind, index)]]
 
                 outs = _eval_exprs_on(exprs, get_col, 0, scale, {})
                 c_stack = jnp.stack(
-                    [
-                        jnp.broadcast_to(c, (16, stack.shape[-1]))
-                        for c in outs
-                    ],
+                    [jnp.broadcast_to(c, (16, n_ext)) for c in outs],
                     axis=1,
                 )
                 return tree_sum(FP, FP.mul(c_stack, w), axis=1)
@@ -192,6 +212,154 @@ def _gate_fold_fns(cs, n_ext: int, scale: int, slab: int):
         fns.append((make(), vars_, len(exprs)))
     per_cs[key] = fns
     return fns
+
+
+def _aux_fold_fns(cs, dom, scale: int):
+    """Jitted quotient programs for the lookup and LogUp argument rules.
+
+    Returns {"lookup": [(fn, vars)], "range": [(fn, vars)]}, one entry per
+    argument, constraint order identical to the verifier's fold order.
+    Lookup fn(qstack (16,V,n), astack (16,3,n) = A'/S'/Z coeffs,
+    tables (16,3,n_ext) = l0/l_last/active, ch (16,3,1) = θ/β/γ, w) and
+    range fn(qstack, astack (16,3+B,n) = m/h_T/z/h_b coeffs,
+    tables, beta (16,1), w) -> y-weighted (16, n_ext) partials.
+    """
+    per_cs = _AUX_FOLD_CACHE.setdefault(cs, {})
+    key = (dom.k, dom.extended_k, scale, _mesh_key())
+    if key in per_cs:
+        return per_cs[key]
+    from .expr import queried_vars
+
+    n_ext = dom.n_ext
+    out = {"lookup": [], "range": []}
+    for lk in cs.lookups:
+        vars_ = sorted(
+            {(v.kind, v.index) for v in queried_vars(lk.inputs + lk.tables)}
+        )
+        pos = {v: i for i, v in enumerate(vars_)}
+
+        def make(lk=lk, pos=pos):
+            def fn(qstack, astack, tables, ch, w):
+                qext = dom.coeff_to_extended(qstack)
+                aext = dom.coeff_to_extended(astack)
+                l0, l_last, active = tables[:, 0], tables[:, 1], tables[:, 2]
+                theta, beta, gamma = ch[:, 0], ch[:, 1], ch[:, 2]
+
+                def get_col(kind, index):
+                    return qext[:, pos[(kind, index)]]
+
+                cache: dict = {}
+                in_ext = _eval_exprs_on(lk.inputs, get_col, 0, scale, cache)
+                tb_ext = _eval_exprs_on(lk.tables, get_col, 0, scale, cache)
+                a_ext = _compress_traced(in_ext, theta)
+                s_ext = _compress_traced(tb_ext, theta)
+                ap, sp, zl = aext[:, 0], aext[:, 1], aext[:, 2]
+                zl_next = jnp.roll(zl, -scale, axis=-1)
+                ap_prev = jnp.roll(ap, scale, axis=-1)
+                one = FP.ones((n_ext,))
+                constraints = [
+                    FP.mul(l0, FP.sub(zl, one)),
+                    FP.mul(l_last, FP.sub(FP.mul(zl, zl), zl)),
+                    FP.mul(
+                        active,
+                        FP.sub(
+                            FP.mul(
+                                zl_next,
+                                FP.mul(FP.add(ap, beta), FP.add(sp, gamma)),
+                            ),
+                            FP.mul(
+                                zl,
+                                FP.mul(
+                                    FP.add(a_ext, beta), FP.add(s_ext, gamma)
+                                ),
+                            ),
+                        ),
+                    ),
+                    FP.mul(l0, FP.sub(ap, sp)),
+                    FP.mul(
+                        active,
+                        FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)),
+                    ),
+                ]
+                c_stack = jnp.stack(
+                    [jnp.broadcast_to(c, (16, n_ext)) for c in constraints],
+                    axis=1,
+                )
+                return tree_sum(FP, FP.mul(c_stack, w), axis=1)
+
+            return jax.jit(fn)
+
+        out["lookup"].append((make(), vars_))
+
+    for rl in cs.range_lookups:
+        vars_ = sorted(
+            {(v.kind, v.index) for v in queried_vars(rl.inputs + [rl.table])}
+        )
+        pos = {v: i for i, v in enumerate(vars_)}
+        batches = rl.batches()
+
+        def make(rl=rl, pos=pos, batches=batches):
+            def fn(qstack, astack, tables, beta, w):
+                qext = dom.coeff_to_extended(qstack)
+                aext = dom.coeff_to_extended(astack)
+                l0, l_last, active = tables[:, 0], tables[:, 1], tables[:, 2]
+
+                def get_col(kind, index):
+                    return qext[:, pos[(kind, index)]]
+
+                cache: dict = {}
+                in_ext = _eval_exprs_on(rl.inputs, get_col, 0, scale, cache)
+                t_ext = _eval_exprs_on([rl.table], get_col, 0, scale, cache)[0]
+                m_ext, ht_ext, z = aext[:, 0], aext[:, 1], aext[:, 2]
+                h_exts = [aext[:, 3 + b] for b in range(len(batches))]
+                z_next = jnp.roll(z, -scale, axis=-1)
+                one = FP.ones((n_ext,))
+                constraints = [FP.mul(l0, z), FP.mul(l_last, z)]
+                sum_h = h_exts[0]
+                for hh in h_exts[1:]:
+                    sum_h = FP.add(sum_h, hh)
+                constraints.append(
+                    FP.mul(
+                        active,
+                        FP.sub(FP.sub(z_next, z), FP.sub(sum_h, ht_ext)),
+                    )
+                )
+                j0 = 0
+                for b, batch in enumerate(batches):
+                    ds = [
+                        FP.add(in_ext[j0 + j], beta) for j in range(len(batch))
+                    ]
+                    j0 += len(batch)
+                    prod_all = ds[0]
+                    for dd in ds[1:]:
+                        prod_all = FP.mul(prod_all, dd)
+                    excl = None
+                    for j in range(len(ds)):
+                        term = None
+                        for l in range(len(ds)):
+                            if l == j:
+                                continue
+                            term = ds[l] if term is None else FP.mul(term, ds[l])
+                        if term is None:  # batch of one: empty product = 1
+                            term = one
+                        excl = term if excl is None else FP.add(excl, term)
+                    constraints.append(
+                        FP.sub(FP.mul(h_exts[b], prod_all), excl)
+                    )
+                constraints.append(
+                    FP.sub(FP.mul(ht_ext, FP.add(t_ext, beta)), m_ext)
+                )
+                c_stack = jnp.stack(
+                    [jnp.broadcast_to(c, (16, n_ext)) for c in constraints],
+                    axis=1,
+                )
+                return tree_sum(FP, FP.mul(c_stack, w), axis=1)
+
+            return jax.jit(fn)
+
+        out["range"].append((make(), vars_))
+    per_cs[key] = out
+    return out
 
 
 def permute_lookup(a_vals: list[int], s_vals: list[int]):
@@ -612,29 +780,20 @@ def create_proof(
     t0 = _phase("grand products", t0)
     y = tw.challenge()
 
-    # 5. quotient: evaluate every constraint on the extended coset
-    ext_cache: dict[tuple, jnp.ndarray] = {}
-
-    def ext(pid) -> jnp.ndarray:
-        if pid not in ext_cache:
-            ext_cache[pid] = dom.coeff_to_extended(coeff[pid])
-        return ext_cache[pid]
-
-    def ext_col(kind, index):
-        return ext((kind, index))
-
+    # 5. quotient: one jitted program per constraint block (gate slabs,
+    # each lookup, each LogUp argument), cached per circuit.  Every block
+    # receives its queried columns in the COEFFICIENT domain and lifts
+    # them to the extended coset inside the program, so (a) the whole
+    # block is one device dispatch — the eager version spent the phase on
+    # ~10 ms-per-op tunnel latency — and (b) no extended-column cache is
+    # ever resident (~2 GB at k=14); peak extended memory is one block.
     l0_ext = jnp.asarray(dom.l0_evals_ext())
-    x_ext = jnp.asarray(dom.x_evals_ext())
     one_ext = FP.ones((dom.n_ext,))
     # usable-rows selectors: l_last = l_u; active = 1 − Σ_{i≥u} l_i
     l_last_ext = dom.lagrange_sum_ext((u,))
     active_ext = FP.sub(one_ext, dom.lagrange_sum_ext(tuple(range(u, n))))
+    tables3 = jnp.stack([l0_ext, l_last_ext, active_ext], axis=1)
 
-    # constraints are STREAMED into the y-weighted fold: the canonical
-    # count K is known upfront, so each produced (16, n_ext) constraint is
-    # folded with its y^(K-1-i) weight and freed — keeping all ~460 of
-    # them live is ~2 GB at k=14 and exhausts HBM together with the
-    # extended-column cache.
     all_polys = [p for g in cs.gates for p in g.polys]
     K = (
         len(all_polys)
@@ -643,47 +802,35 @@ def create_proof(
         + sum(4 + len(rl.batches()) for rl in cs.range_lookups)
     )
     y_pows = [pow(y, K - 1 - i, P) for i in range(K)]
-    fold_state = {"acc": None, "i": 0, "pending": []}
-    _FOLD_SLAB = 48
+    fold_state = {"acc": None, "i": 0}
 
-    def _flush_fold():
-        chunk = fold_state["pending"]
-        if not chunk:
-            return
+    def _take_w(count: int) -> jnp.ndarray:
         i0 = fold_state["i"]
-        w = FP.encode(y_pows[i0 : i0 + len(chunk)])[:, :, None]
-        c_stack = jnp.stack(
-            [jnp.broadcast_to(c, (16, dom.n_ext)) for c in chunk], axis=1
-        )
-        part = tree_sum(FP, FP.mul(c_stack, w), axis=1)
+        fold_state["i"] = i0 + count
+        return FP.encode(y_pows[i0 : i0 + count])[:, :, None]
+
+    def _add_part(part: jnp.ndarray):
         fold_state["acc"] = (
             part if fold_state["acc"] is None
             else FP.add(fold_state["acc"], part)
         )
-        fold_state["i"] = i0 + len(chunk)
-        fold_state["pending"] = []
 
-    def _fold(cs_list):
-        for c in cs_list:
-            fold_state["pending"].append(c)
-            if len(fold_state["pending"]) >= _FOLD_SLAB:
-                _flush_fold()
-
-    # gates: one jitted program per slab (cached per circuit) — a single
-    # device dispatch instead of hundreds of eager ops per slab
     _GATE_SLAB = 48
-    for fn, vars_, n_slab in _gate_fold_fns(cs, dom.n_ext, scale, _GATE_SLAB):
-        stack = jnp.stack([ext(v) for v in vars_], axis=1)
-        i0 = fold_state["i"] + len(fold_state["pending"])
-        w = FP.encode(y_pows[i0 : i0 + n_slab])[:, :, None]
-        _flush_fold()  # keep the weighted stream in canonical order
-        part = fn(stack, w)
-        fold_state["acc"] = (
-            part if fold_state["acc"] is None
-            else FP.add(fold_state["acc"], part)
-        )
-        fold_state["i"] += n_slab
+    for fn, vars_, n_slab in _gate_fold_fns(cs, dom, scale, _GATE_SLAB):
+        stack = jnp.stack([coeff[v] for v in vars_], axis=1)
+        _add_part(fn(stack, _take_w(n_slab)))
     if perm_cols:
+        # permutation rule: stays eager — the wide TinyRAM circuit has no
+        # copy constraints (shared columns replace them), so this only
+        # runs for small test circuits.
+        ext_c: dict = {}
+
+        def ext(pid):
+            if pid not in ext_c:
+                ext_c[pid] = dom.coeff_to_extended(coeff[pid])
+            return ext_c[pid]
+
+        x_ext = jnp.asarray(dom.x_evals_ext())
         constraints = []
         z = ext(("zperm",))
         z_next = _rolled(z, 1, scale)
@@ -704,94 +851,33 @@ def create_proof(
                 right, FP.add(FP.add(v, FP.mul(_scalar(dj), x_ext)), gamma_d)
             )
         constraints.append(FP.mul(active_ext, FP.sub(left, right)))
-        _fold(constraints)
-    for li, lk in enumerate(cs.lookups):
-        constraints = []
-        cache = {}
-        in_ext = _eval_exprs_on(lk.inputs, ext_col, dom.n_ext, scale, cache)
-        tb_ext = _eval_exprs_on(lk.tables, ext_col, dom.n_ext, scale, cache)
-        a_ext = _compress(in_ext, theta)
-        s_ext = _compress(tb_ext, theta)
-        ap = ext(("la", li))
-        sp = ext(("ls", li))
-        zl = ext(("lz", li))
-        zl_next = _rolled(zl, 1, scale)
-        ap_prev = _rolled(ap, -1, scale)
-        constraints.append(FP.mul(l0_ext, FP.sub(zl, one_ext)))
-        constraints.append(FP.mul(l_last_ext, FP.sub(FP.mul(zl, zl), zl)))
-        constraints.append(
-            FP.mul(
-                active_ext,
-                FP.sub(
-                    FP.mul(
-                        zl_next,
-                        FP.mul(FP.add(ap, beta_d), FP.add(sp, gamma_d)),
-                    ),
-                    FP.mul(
-                        zl,
-                        FP.mul(FP.add(a_ext, beta_d), FP.add(s_ext, gamma_d)),
-                    ),
-                ),
-            )
+        c_stack = jnp.stack(
+            [jnp.broadcast_to(c, (16, dom.n_ext)) for c in constraints],
+            axis=1,
         )
-        constraints.append(FP.mul(l0_ext, FP.sub(ap, sp)))
-        constraints.append(
-            FP.mul(active_ext, FP.mul(FP.sub(ap, sp), FP.sub(ap, ap_prev)))
+        _add_part(tree_sum(FP, FP.mul(c_stack, _take_w(3)), axis=1))
+    aux_fns = _aux_fold_fns(cs, dom, scale)
+    theta_d = _scalar(theta)
+    ch3 = jnp.stack([theta_d, beta_d, gamma_d], axis=1)  # (16, 3, 1)
+    for li, (fn, vars_) in enumerate(aux_fns["lookup"]):
+        qstack = jnp.stack([coeff[v] for v in vars_], axis=1)
+        astack = jnp.stack(
+            [coeff[("la", li)], coeff[("ls", li)], coeff[("lz", li)]], axis=1
         )
-        _fold(constraints)
-    for ri, rl in enumerate(cs.range_lookups):
-        constraints = []
-        cache = {}
-        in_ext = _eval_exprs_on(rl.inputs, ext_col, dom.n_ext, scale, cache)
-        t_ext = _eval_exprs_on([rl.table], ext_col, dom.n_ext, scale, cache)[0]
-        z = ext(("rz", ri))
-        z_next = _rolled(z, 1, scale)
-        m_ext = ext(("rm", ri))
-        ht_ext = ext(("rt", ri))
-        batches = rl.batches()
-        h_exts = [ext(("rh", ri, b)) for b in range(len(batches))]
-        # z(0) = 0; z(u) = 0 (the LogUp sum closes); accumulation on [0,u)
-        constraints.append(FP.mul(l0_ext, z))
-        constraints.append(FP.mul(l_last_ext, z))
-        sum_h = h_exts[0]
-        for hh in h_exts[1:]:
-            sum_h = FP.add(sum_h, hh)
-        constraints.append(
-            FP.mul(
-                active_ext,
-                FP.sub(FP.sub(z_next, z), FP.sub(sum_h, ht_ext)),
-            )
+        _add_part(fn(qstack, astack, tables3, ch3, _take_w(5)))
+    for ri, (fn, vars_) in enumerate(aux_fns["range"]):
+        rl = cs.range_lookups[ri]
+        qstack = jnp.stack([coeff[v] for v in vars_], axis=1)
+        astack = jnp.stack(
+            [coeff[("rm", ri)], coeff[("rt", ri)], coeff[("rz", ri)]]
+            + [coeff[("rh", ri, b)] for b in range(len(rl.batches()))],
+            axis=1,
         )
-        # per batch (UNGATED, holds on all rows incl. blinding):
-        #   h_b·Π_j(β+f_j) − Σ_j Π_{l≠j}(β+f_l) = 0
-        j0 = 0
-        for b, batch in enumerate(batches):
-            ds = [FP.add(in_ext[j0 + j], beta_d) for j in range(len(batch))]
-            j0 += len(batch)
-            prod_all = ds[0]
-            for dd in ds[1:]:
-                prod_all = FP.mul(prod_all, dd)
-            excl = None
-            for j in range(len(ds)):
-                term = None
-                for l in range(len(ds)):
-                    if l == j:
-                        continue
-                    term = ds[l] if term is None else FP.mul(term, ds[l])
-                if term is None:  # batch of one: empty product = 1
-                    term = one_ext
-                excl = term if excl is None else FP.add(excl, term)
-            constraints.append(FP.sub(FP.mul(h_exts[b], prod_all), excl))
-        # table side (ungated): h_T·(β+t) − m = 0
-        constraints.append(
-            FP.sub(FP.mul(ht_ext, FP.add(t_ext, beta_d)), m_ext)
+        _add_part(
+            fn(qstack, astack, tables3, beta_d, _take_w(4 + len(rl.batches())))
         )
-        _fold(constraints)
-    _flush_fold()
     assert fold_state["i"] == K, (fold_state["i"], K)
     acc = fold_state["acc"]
-    # the extended-domain column cache (~2 GB at k=14) is dead past here
-    ext_cache.clear()
 
     t0 = _phase("constraint ext eval", t0)
     q_ext = dom.divide_by_vanishing(acc)
