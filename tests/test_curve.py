@@ -107,7 +107,9 @@ def test_scalar_mul_matches_host():
     assert got == want
 
 
-@pytest.mark.parametrize("n", [1, 5, 64])
+@pytest.mark.parametrize(
+    "n", [1, 5, pytest.param(64, marks=pytest.mark.slow)]
+)
 def test_msm_matches_host(n):
     pts = gen_points(n, seed=7 + n)
     rng = random.Random(8 + n)

@@ -25,6 +25,7 @@ def _loop_prog(iters):
     ]
 
 
+@pytest.mark.slow
 def test_decoupled_capacity_beyond_word_limit():
     """W=16, k=12: a 901-step trace (old cap was 255) mock-proves."""
     circ = TinyRamCircuit(16, 8, k=12)

@@ -30,7 +30,9 @@ def test_digit_roundtrip():
         assert rec == v
 
 
-@pytest.mark.parametrize("n", [8, 512])
+@pytest.mark.parametrize(
+    "n", [8, pytest.param(512, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("inverse", [False, True])
 def test_matches_jnp_ntt(n, inverse):
     a, _ = _rand(n, seed=n + int(inverse))

@@ -32,7 +32,9 @@ def _rand(n, batch=(), seed=0):
 # distinct shape), so the CPU matrix stays small: n=16 (single level) and
 # n=512 (two-level recursion with cross twiddles).  Larger sizes and the
 # real pallas_call run on the chip via scripts/verify_ntt_tpu.py.
-@pytest.mark.parametrize("n", [16, 512])
+@pytest.mark.parametrize(
+    "n", [16, pytest.param(512, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("inverse", [False, True])
 def test_matches_jnp_ntt(n, inverse):
     a = _rand(n, seed=n)

@@ -44,6 +44,7 @@ def test_intt_sharded_roundtrip(mesh):
     assert back == vals
 
 
+@pytest.mark.slow
 def test_msm_sharded_matches_single(mesh):
     from tests.test_curve import gen_points
 
