@@ -7,6 +7,10 @@ word size (k = 2 + W/2), verifies it, and prints a JSON line with total
 prover seconds plus the per-phase breakdown recorded by utils.profiling.
 First run on a fresh process includes XLA/Mosaic compiles — the second
 `prove` call is the steady-state number.
+
+The proving key is persisted via plonk/serialize.py (round 4): the first
+run pays keygen (~224 s at k=14) once, reruns load the pk in seconds.
+Verify is timed twice — cold (incl. its own compiles) and warm.
 """
 
 import json
@@ -20,6 +24,11 @@ subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
                check=False, capture_output=True)
 
 os.environ.setdefault("TINYRAM_PROFILE", "1")
+os.environ.setdefault("TINYRAM_DEBUG", "1")  # name the failing check
+
+_PK_CACHE_DIR = os.environ.get(
+    "TINYRAM_TPU_CACHE", os.path.expanduser("~/.cache/tinyram_tpu")
+)
 
 
 def main():
@@ -29,6 +38,7 @@ def main():
     import jax
 
     from tinyram_tpu.ipa import setup
+    from tinyram_tpu.plonk.serialize import load_pk, save_pk
     from tinyram_tpu.tinyram import TinyRamCircuit, eval_program
     from tinyram_tpu.tinyram.bench_programs import config2_program
     from tinyram_tpu.utils.profiling import counters
@@ -45,9 +55,21 @@ def main():
     t0 = time.time()
     srs = setup(circ.k)
     print(f"srs: {time.time()-t0:.1f}s", flush=True)
+
+    pk_path = os.path.join(
+        _PK_CACHE_DIR, f"pk_config2_w{word_bits}_r8_k{circ.k}.npz"
+    )
     t0 = time.time()
-    pk = circ.keygen(srs)
-    print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+    if os.path.exists(pk_path) and not os.environ.get("TINYRAM_NO_PK_CACHE"):
+        pk = load_pk(pk_path, circ.tcs.cs)
+        print(f"pk loaded from cache: {time.time()-t0:.1f}s", flush=True)
+        keygen_s = 0.0
+    else:
+        pk = circ.keygen(srs)
+        keygen_s = time.time() - t0
+        print(f"keygen: {keygen_s:.1f}s", flush=True)
+        os.makedirs(_PK_CACHE_DIR, exist_ok=True)
+        save_pk(pk_path, pk)
 
     t0 = time.time()
     asg = circ.assignment(tr)
@@ -65,13 +87,28 @@ def main():
     t0 = time.time()
     proof = create_proof(srs, pk, circ.assignment(tr))
     steady_s = time.time() - t0
+    print(f"prove (steady): {steady_s:.1f}s", flush=True)
     phases = {k.replace("prover.", ""): round(v, 2)
               for k, v in counters.seconds.items()}
 
+    # persist the proof for post-mortem verification (a failed chip proof
+    # can be re-verified on CPU with TINYRAM_DEBUG=1 to name the check)
+    proof_path = os.path.join(
+        _PK_CACHE_DIR, f"proof_last_w{word_bits}_k{circ.k}.bin"
+    )
+    os.makedirs(_PK_CACHE_DIR, exist_ok=True)
+    with open(proof_path, "wb") as fh:
+        fh.write(proof)
+    t0 = time.time()
+    ok = circ.verify(srs, pk, prog, tr.answer, proof)
+    verify_cold_s = time.time() - t0
+    assert ok, f"proof did not verify (saved at {proof_path})"
     t0 = time.time()
     ok = circ.verify(srs, pk, prog, tr.answer, proof)
     verify_s = time.time() - t0
-    assert ok, "proof did not verify"
+    assert ok
+    print(f"verify: {verify_cold_s:.1f}s cold, {verify_s:.1f}s warm",
+          flush=True)
 
     result = {
         "metric": "proof_seconds_config2",
@@ -80,18 +117,23 @@ def main():
         "extra": {
             "steps": len(tr), "word_bits": word_bits, "k": circ.k,
             "first_prove_s": round(first_s, 1),
+            "keygen_s": round(keygen_s, 1),
             "witness_s": round(witness_s, 1),
-            "verify_s": round(verify_s, 1),
+            "verify_cold_s": round(verify_cold_s, 1),
+            "verify_warm_s": round(verify_s, 1),
             "proof_bytes": len(proof),
             "phases": phases,
             "device": str(jax.devices()[0]),
         },
     }
     print(json.dumps(result), flush=True)
-    # persist for bench.py to surface in the round's BENCH record
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_PROVER.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
+    # persist for bench.py to surface in the round's BENCH record — but
+    # only the canonical config-2 shape (smoke runs at other sizes must
+    # not clobber the headline artifact)
+    if (steps_log2, word_bits) == (12, 24):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_PROVER.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
 
 
 if __name__ == "__main__":

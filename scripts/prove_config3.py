@@ -74,30 +74,57 @@ def main():
     if PROVE:
         from tinyram_tpu.ipa import setup
         from tinyram_tpu.plonk import create_proof
+        from tinyram_tpu.plonk.serialize import load_pk, save_pk
 
+        os.environ.setdefault("TINYRAM_PROFILE", "1")
         t0 = time.time()
         srs = setup(circ.k)
         print(f"srs: {time.time()-t0:.1f}s", flush=True)
+        cache_dir = os.environ.get(
+            "TINYRAM_TPU_CACHE", os.path.expanduser("~/.cache/tinyram_tpu")
+        )
+        pk_path = os.path.join(cache_dir, f"pk_config3_w{W}_r8_k{K}.npz")
         t0 = time.time()
-        pk = circ.keygen(srs)
-        print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+        if os.path.exists(pk_path):
+            pk = load_pk(pk_path, circ.tcs.cs)
+            print(f"pk loaded from cache: {time.time()-t0:.1f}s", flush=True)
+        else:
+            pk = circ.keygen(srs)
+            print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+            os.makedirs(cache_dir, exist_ok=True)
+            save_pk(pk_path, pk)
+        from tinyram_tpu.utils.profiling import counters
+
         t0 = time.time()
         proof = create_proof(srs, pk, asg)
         first_s = time.time() - t0
         print(f"prove (first, incl. compiles): {first_s:.1f}s", flush=True)
+        phases = {k2.replace("prover.", ""): round(v, 2)
+                  for k2, v in counters.seconds.items()}
         t0 = time.time()
         ok = circ.verify(srs, pk, prog, tr.answer, proof)
         verify_s = time.time() - t0
         print(f"verify: {verify_s:.1f}s ok={ok}", flush=True)
         assert ok
         result["extra"].update(
-            prove_first_s=round(first_s, 1),
+            proof_seconds=round(first_s, 1),
             verify_s=round(verify_s, 1),
             proof_bytes=len(proof),
+            phases=phases,
         )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_CONFIG3.json"), "w") as fh:
+    out_path = os.path.join(root, "BENCH_CONFIG3.json")
+    # merge with prior evidence (e.g. keep mock_seconds when only proving)
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prior = json.load(fh).get("extra", {})
+            for k2, v in prior.items():
+                result["extra"].setdefault(k2, v)
+        except Exception:
+            pass
+    with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result), flush=True)
 

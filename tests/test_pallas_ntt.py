@@ -43,6 +43,29 @@ def test_matches_jnp_ntt(n, inverse):
     assert FP.decode(got) == FP.decode(want)
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_four_step_recursion_small_base(inverse):
+    """Multi-level recursion + cross twiddles in the fast tier (ADVICE r3):
+    forcing s_max=16 on a 256-point transform exercises two recursion
+    levels with the cheap jnp base — same composition code the chip runs
+    at n>=512 — without the ~100 s 512-point CPU kernel compiles."""
+    from tinyram_tpu.field.params import N_LIMBS
+    from tinyram_tpu.poly.pallas_ntt import _base_jnp, four_step
+
+    n, cols = 256, 2
+    a = _rand(n, batch=(cols,), seed=77)
+    x = np.moveaxis(np.asarray(a), 1, 2)  # (16, n, cols)
+    import jax.numpy as jnp
+
+    got = four_step(jnp.asarray(x), "Fp", inverse, None, _base_jnp, 16)
+    got = jnp.moveaxis(got, 2, 1)
+    want = ntt(FP, a, inverse=inverse)
+    if inverse:  # four_step omits the 1/n scale (applied by ntt_pallas)
+        n_inv = pow(n, FP.modulus - 2, FP.modulus)
+        got = FP.mul(got, FP.const(n_inv, 2))
+    assert FP.decode(got) == FP.decode(want)
+
+
 def test_roundtrip():
     a = _rand(512, seed=5)  # same shapes as above: no extra compiles
     back = ntt_pallas(

@@ -85,18 +85,47 @@ def test_add_body_matches_vesta():
         assert jnp.array_equal(w, g)
 
 
+def test_madd_body_matches_vesta_mixed():
+    """Mixed Algorithm 8 (kernel body AND jnp twin) vs the lifted
+    Algorithm 7: group-equal for finite q, including identity acc and
+    doubling/cancellation cases."""
+    from tinyram_tpu.curve.pallas_point import _madd_body
+
+    finite = gen_points(6, seed=31)
+    # acc: mix of identity, the same points (doubling), negations
+    # (cancellation), and unrelated points
+    acc_pts = [None, finite[1], (finite[2][0], (-finite[2][1]) % FQ.modulus),
+               finite[4], None, finite[0]]
+    acc = from_affine_host(acc_pts)
+    q = from_affine_host(finite)
+    p_limbs, n0inv = _fq_consts()
+    X3, Y3, Z3 = _madd_body(
+        _vecs(acc.x), _vecs(acc.y), _vecs(acc.z),
+        _vecs(q.x), _vecs(q.y),
+        p_limbs, n0inv,
+    )
+    got = PointBatch(_stack(X3), _stack(Y3), _stack(Z3))
+    want = vesta.add(acc, q)
+    assert bool(jnp.all(vesta.eq(got, want))), "kernel body != Alg 7"
+    got2 = vesta.add_mixed(acc, q.x, q.y)
+    assert bool(jnp.all(vesta.eq(got2, want))), "jnp twin != Alg 7"
+    # twin and kernel body are bit-identical (same formula order)
+    for w, g in zip(got2, got):
+        assert jnp.array_equal(w, g)
+
+
 class _FakeRef:
-    """Minimal Ref stand-in: kernels read r[i, :] and write r[i, :] = v."""
+    """Minimal Ref stand-in: kernels read r[i] and write r[i] = v."""
 
     def __init__(self, arr=None, n=None):
         self.rows = [None] * N_LIMBS if arr is None else [arr[i] for i in range(N_LIMBS)]
 
     def __getitem__(self, idx):
-        i, _ = idx
+        i = idx[0] if isinstance(idx, tuple) else idx
         return self.rows[i]
 
     def __setitem__(self, idx, v):
-        i, _ = idx
+        i = idx[0] if isinstance(idx, tuple) else idx
         self.rows[i] = v
 
     def stacked(self):

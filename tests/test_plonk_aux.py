@@ -53,6 +53,7 @@ def test_layout_dumps(small_circuit):
     assert dot.startswith("digraph") and "mul" in dot
 
 
+@pytest.mark.slow  # full keygen+prove+verify roundtrip (~460 s on CPU)
 def test_pk_serialization_roundtrip(small_circuit):
     cs, cols, srs, pk, asg, inst_v = small_circuit
     with tempfile.TemporaryDirectory() as d:

@@ -73,6 +73,8 @@ def test_range_lookup_prove_verify_roundtrip():
     assert not verify_proof(srs, pk.vk, [], bytes(bad))
 
 
+@pytest.mark.slow  # k=6 keygen+prove to hit a host ValueError; the same
+# check runs mock-level in seconds (test_range_lookup_mock_catches_out_of_range)
 def test_range_lookup_prover_rejects_out_of_range():
     cs, t_rng, cols = _build()
     asg = _assign(

@@ -74,6 +74,87 @@ def test_scaling_report_smoke(mesh):
     assert rep["efficiency"]["ntt"][1] == 1.0
 
 
+@pytest.mark.slow
+def test_real_slab_programs_stay_sharded_k12(mesh):
+    """The ACTUAL jitted quotient slab programs keep row sharding at a
+    non-toy size (VERDICT r3 item 6: the r3 evidence checked a stand-in
+    fold, not `_gate_fold_fns`/`_aux_fold_fns`).  Runs the real TinyRAM
+    constraint system's first gate slab and first aux folds at k=12 under
+    the 8-device mesh and asserts each OUTPUT is block-sharded with
+    n_ext/D rows per device — the memory argument for k=18+ quotients.
+    """
+    import jax.numpy as jnp
+
+    from tinyram_tpu.plonk.prover import _aux_fold_fns, _gate_fold_fns
+    from tinyram_tpu.poly.domain import Domain
+    from tinyram_tpu.shard.context import mesh_context
+    from tinyram_tpu.tinyram import TinyRamCircuit
+
+    cs = TinyRamCircuit(16, 8).tcs.cs
+    k, ext_k = 12, 15
+    dom = Domain(FP, k, ext_k)
+    n, scale = 1 << k, 1 << (ext_k - k)
+    rng = np.random.default_rng(7)
+
+    def rand_cols(count):
+        limbs = rng.integers(0, 1 << 16, size=(16, count, n)).astype(
+            np.uint32
+        )
+        limbs[15] &= 0x3FFF
+        return jnp.asarray(limbs)
+
+    D = mesh.devices.size
+
+    def assert_row_sharded(arr, what):
+        spec = getattr(arr.sharding, "spec", None)
+        assert spec is not None and "chips" in tuple(spec), (
+            f"{what} not sharded: {arr.sharding}"
+        )
+        shard = next(iter(arr.addressable_shards))
+        assert shard.data.shape[-1] == arr.shape[-1] // D, (
+            f"{what}: shard holds {shard.data.shape[-1]} rows, "
+            f"want {arr.shape[-1] // D}"
+        )
+
+    with mesh_context(mesh):
+        # gate slabs: run the first (the widest — temp-var routing gates)
+        fn, vars_, n_slab = _gate_fold_fns(cs, dom, scale, 48)[0]
+        # coefficient inputs arrive via the sharded NTT in create_proof;
+        # reproduce that (the all-to-all NTT's out_specs block-shard rows)
+        stack = dom.lagrange_to_coeff(rand_cols(len(vars_)))
+        w = FP.encode([1] * n_slab)[:, :, None]
+        out = fn(stack, w)
+        assert out.shape == (16, dom.n_ext)
+        assert_row_sharded(out, f"gate slab 0 ({len(vars_)} cols)")
+
+        # aux folds: one plookup and the LogUp argument
+        aux = _aux_fold_fns(cs, dom, scale)
+        tables3 = jnp.stack(
+            [dom.coeff_to_extended(dom.lagrange_to_coeff(rand_cols(1)[:, 0]))]
+            * 3,
+            axis=1,
+        )
+        if aux["lookup"]:
+            lfn, lvars = aux["lookup"][0]
+            qstack = dom.lagrange_to_coeff(rand_cols(len(lvars)))
+            astack = dom.lagrange_to_coeff(rand_cols(3))
+            ch = FP.encode([3, 5, 7])[:, :, None]
+            lout = lfn(qstack, astack, tables3, ch, FP.encode([1] * 5)[:, :, None])
+            assert_row_sharded(lout, "plookup fold")
+        if aux["range"]:
+            rfn, rvars = aux["range"][0]
+            rl = cs.range_lookups[0]
+            nb = len(rl.batches())
+            qstack = dom.lagrange_to_coeff(rand_cols(len(rvars)))
+            astack = dom.lagrange_to_coeff(rand_cols(3 + nb))
+            beta = FP.encode([9])[:, :1]
+            rout = rfn(
+                qstack, astack, tables3, beta,
+                FP.encode([1] * (4 + nb))[:, :, None],
+            )
+            assert_row_sharded(rout, "LogUp fold")
+
+
 def test_quotient_phase_sharding_propagates(mesh):
     """Memory argument for k=18+ quotient evaluation on a real mesh
     (VERDICT r2 item 6): in mesh mode the extended-coset columns come out

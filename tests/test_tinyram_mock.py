@@ -174,6 +174,7 @@ def test_memory_forgery_caught(circ8):
                for f in failures), failures
 
 
+@pytest.mark.slow  # k=14 witness+mock (~135 s); W8/W16 mocks stay fast
 def test_w24_mock():
     """BASELINE word size 24 (k=14, 4096-row tables) mock-proves."""
     circ = TinyRamCircuit(24, 8)

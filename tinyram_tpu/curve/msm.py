@@ -61,22 +61,49 @@ def _ops():
         vesta.double,
     )
 
+
+def _mixed_select():
+    """fn(mask, acc, qx, qy) = select(mask, acc + (qx,qy,1), (qx,qy,1)).
+
+    The bucket scan's inner op: q is affine (RCB16 Algorithm 8) so the
+    scan gathers only 2 coordinates.  Identity q is NOT handled — the
+    caller routes identity inputs to the spill bucket first."""
+    from . import pallas_point as pp
+
+    if pp.use_pallas_points():
+        return pp.padd_select_mixed
+
+    def jnp_mixed(mask, acc, qx, qy):
+        lifted = PointBatch(qx, qy, FQ.ones(qx.shape[1:]))
+        return vesta.select(mask, vesta.add_mixed(acc, qx, qy), lifted)
+
+    return jnp_mixed
+
+import os as _os
+
 # Peak per-group element budget: a group materializes ~3x (sorted points,
 # scan outputs, gathers) x 192 B/point, so 2^22 elements ~= 2.5 GB peak.
-_GROUP_ELEMS = 1 << 22
+# Tunable for A/B on chip (scripts/tune_msm_window.py).
+_GROUP_ELEMS = 1 << int(_os.environ.get("TINYRAM_MSM_GROUP_LOG2", "22"))
 # Total lanes per scan step.  Each step is one fused point-add kernel at
 # this width; wider = fewer, larger kernel launches (the scan's step count
 # is n_pad / (lanes per window)).  32K lanes ≈ 6 MB live per step.
-_TARGET_LANES = 32768
+_TARGET_LANES = 1 << int(_os.environ.get("TINYRAM_MSM_LANES_LOG2", "15"))
 
 
 def choose_window_bits(n: int) -> int:
-    """Minimize total adds: W(c) * (n + ~2.2 * 2^(c-1)); signed digits
-    halve the bucket count (W = ceil(256/c))."""
+    """Minimize total adds: W(c) * (n + α·2^(c-1)); signed digits halve
+    the bucket count (W = ceil(256/c)).  α = 0.4 fitted to the r4 chip
+    sweep (logs/tune_msm_r4*.log: 2^16 optimum c=15 @491K pts/s, 2^20
+    optimum c=16 @653K — the old α=2.2 under-windowed 2^16 by two bits,
+    the r3 @2^16 regression)."""
     best_c, best_cost = 8, None
-    for c in range(6, 18):
+    # bucket count capped at n/4 — past that the scatter/reduce fixed
+    # costs cliff (measured: c=16 @2^16 runs at 0.62x of c=15)
+    c_max = min(17, max(8, n.bit_length() - 2))
+    for c in range(6, c_max + 1):
         w = -(-SCALAR_BITS // c)
-        cost = w * (n + 2.2 * (1 << (c - 1)))
+        cost = w * (n + 0.4 * (1 << (c - 1)))
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -132,12 +159,19 @@ def signed_digits(scalars_plain: jnp.ndarray, c: int):
 def _plan(n: int, n_windows: int):
     """(group_size G, chunk length L, padded N) for the bucket pipeline."""
     g = max(1, min(n_windows, _GROUP_ELEMS // max(n, 1)))
-    # chunk lanes across the whole group: aim for _TARGET_LANES total
+    # chunk lanes across the whole group: aim for _TARGET_LANES total.
+    # Round lanes to a multiple of 128 (full vreg rows) instead of a power
+    # of two — the old pow2 rounding ran e.g. 2^16/c=13 at 1024 of a 1638
+    # lane budget (62%), inflating the serial step count (r4, VERDICT r3
+    # weak #3).
     k_per_window = max(1, _TARGET_LANES // g)
-    # L = serial scan depth; keep >= 8 so the scan amortizes, and pad n up
-    lanes = 1
-    while lanes * 2 <= min(k_per_window, max(1, n // 8)):
-        lanes *= 2
+    cap = min(k_per_window, max(1, n // 8))
+    if cap >= 128:
+        lanes = (cap // 128) * 128
+    else:
+        lanes = 1
+        while lanes * 2 <= cap:
+            lanes *= 2
     n_pad = -(-n // lanes) * lanes
     L = n_pad // lanes
     return g, lanes, L, n_pad
@@ -165,15 +199,21 @@ def _group_bucket_sums_inner(
     spill = n_buckets
     G, n = digits_g.shape
     n_pad = lanes_per_window * L
+    # identity inputs (z = 0) contribute nothing: route them to the spill
+    # bucket so the mixed-add scan below never sees a non-finite q
+    # (RCB16 Algorithm 8 requires finite P2; padding rows get the same
+    # treatment via the pad constant)
+    ident_in = FQ.is_zero(points.z)  # (n,)
+    digits_g = jnp.where(ident_in[None, :], spill, digits_g)
     if n_pad != n:
         digits_g = jnp.pad(digits_g, ((0, 0), (0, n_pad - n)),
                            constant_values=spill)
         signs_g = jnp.pad(signs_g, ((0, 0), (0, n_pad - n)))
-        ident = vesta.identity((n_pad - n,))
+        zero = FQ.zeros((n_pad - n,))
         points = PointBatch(
-            jnp.concatenate([points.x, ident.x], axis=-1),
-            jnp.concatenate([points.y, ident.y], axis=-1),
-            jnp.concatenate([points.z, ident.z], axis=-1),
+            jnp.concatenate([points.x, zero], axis=-1),
+            jnp.concatenate([points.y, zero], axis=-1),
+            points.z,  # unused below
         )
 
     order = jnp.argsort(digits_g, axis=-1)  # (G, n_pad)
@@ -183,10 +223,11 @@ def _group_bucket_sums_inner(
     # row-major (n, 48)-table gather with contiguous 192-byte rows was
     # tried (round 3) and is 2x SLOWER end-to-end (249 ms for 3 coords;
     # the transposes dominate) — XLA's TPU gather already vectorizes the
-    # shared index pattern across the 16 limb rows.
+    # shared index pattern across the 16 limb rows.  Round 4: the mixed
+    # Algorithm-8 scan consumes q affine, so Z is never gathered at all
+    # (1/3 of the gather traffic gone).
     px = jnp.take(points.x, order, axis=-1)  # (16, G, n_pad)
     py = jnp.take(points.y, order, axis=-1)
-    pz = jnp.take(points.z, order, axis=-1)
     py = jnp.where(s_sorted[None], FQ.neg(py), py)
 
     # global segment ends (computed before chunking)
@@ -199,21 +240,20 @@ def _group_bucket_sums_inner(
     # scan inputs, step axis first
     sx = jnp.moveaxis(px.reshape(N_LIMBS, M, L), -1, 0)  # (L, 16, M)
     sy = jnp.moveaxis(py.reshape(N_LIMBS, M, L), -1, 0)
-    sz = jnp.moveaxis(pz.reshape(N_LIMBS, M, L), -1, 0)
     same = jnp.concatenate(
         [jnp.zeros((M, 1), bool), d_chunk[:, 1:] == d_chunk[:, :-1]], axis=-1
     ).T  # (L, M)
 
     _padd, _psel, _pdbl = _ops()
+    _mixed = _mixed_select()
 
     def step(acc: PointBatch, inp):
-        s, cx, cy, cz = inp
-        p = PointBatch(cx, cy, cz)
-        acc = _psel(s, acc, p)
+        s, cx, cy = inp
+        acc = _mixed(s, acc, cx, cy)
         return acc, acc
 
     _, ys = jax.lax.scan(
-        step, vesta.identity((M,)), (same, sx, sy, sz), unroll=2
+        step, vesta.identity((M,)), (same, sx, sy), unroll=2
     )
     # ys: PointBatch of (L, 16, M) — within-chunk inclusive segment sums
 

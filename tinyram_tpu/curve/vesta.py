@@ -122,6 +122,49 @@ def add(p: PointBatch, q: PointBatch) -> PointBatch:
 
 
 @jax.jit
+def add_mixed(p: PointBatch, qx: jnp.ndarray, qy: jnp.ndarray) -> PointBatch:
+    """p + (qx, qy, 1), RCB16 Algorithm 8 (mixed, a = 0, b3 = 15).
+
+    Complete in p (including identity); q must NOT be the identity — the
+    MSM routes identity inputs to the spill bucket before using this
+    (curve/msm.py).  One multiply and the whole Z2 operand cheaper than
+    the full Algorithm 7 — the win that matters is the scan's dropped
+    Z-coordinate gather.
+    """
+    X1, Y1, Z1 = p
+    X2, Y2 = qx, qy
+    m, a, s = FQ.mul, FQ.add, FQ.sub
+
+    t0 = m(X1, X2)
+    t1 = m(Y1, Y2)
+    t3 = a(X2, Y2)
+    t4 = a(X1, Y1)
+    t3 = m(t3, t4)
+    t4 = a(t0, t1)
+    t3 = s(t3, t4)          # X1Y2 + X2Y1
+    t4 = m(Y2, Z1)
+    t4 = a(t4, Y1)          # Y1 + Y2Z1
+    Y3 = m(X2, Z1)
+    Y3 = a(Y3, X1)          # X1 + X2Z1
+    X3 = a(t0, t0)
+    t0 = a(X3, t0)          # 3·X1X2
+    t2 = _mul_by_3b(Z1)     # 3b·Z1
+    Z3 = a(t1, t2)
+    t1 = s(t1, t2)
+    Y3 = _mul_by_3b(Y3)     # 3b·(X1 + X2Z1)
+    X3 = m(t4, Y3)
+    t2 = m(t3, t1)
+    X3 = s(t2, X3)
+    Y3 = m(Y3, t0)
+    t1 = m(t1, Z3)
+    Y3 = a(t1, Y3)
+    t0 = m(t0, t3)
+    Z3 = m(Z3, t4)
+    Z3 = a(Z3, t0)
+    return PointBatch(X3, Y3, Z3)
+
+
+@jax.jit
 def double(p: PointBatch) -> PointBatch:
     """Exception-free doubling, RCB16 Algorithm 9 (a = 0, b3 = 15)."""
     X, Y, Z = p

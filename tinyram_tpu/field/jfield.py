@@ -208,7 +208,7 @@ class Field:
             for d in a.shape[1:]:
                 lanes *= d
             if lanes >= 2048:
-                for blk in (512, 256, 128):
+                for blk in (2048, 1024, 512, 256, 128):
                     if lanes % blk == 0:
                         from .pallas_mul import _mul_pallas
 

@@ -121,17 +121,17 @@ def _make_kernel(params: FieldParams):
     n0inv = np.uint32(params.n0_inv)
 
     def kernel(a_ref, b_ref, o_ref):
-        a = [a_ref[i, :] for i in range(N_LIMBS)]
-        b = [b_ref[i, :] for i in range(N_LIMBS)]
+        a = [a_ref[i] for i in range(N_LIMBS)]
+        b = [b_ref[i] for i in range(N_LIMBS)]
         out = mont_mul_vecs(a, b, p_limbs, n0inv)
         for i in range(N_LIMBS):
-            o_ref[i, :] = out[i]
+            o_ref[i] = out[i]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("block", "interpret", "field_name"))
-def _mul_pallas(a, b, field_name: str = "Fp", block: int = 512,
+def _mul_pallas(a, b, field_name: str = "Fp", block: int = 2048,
                 interpret: bool = False):
     from jax.experimental import pallas as pl
 
@@ -143,6 +143,20 @@ def _mul_pallas(a, b, field_name: str = "Fp", block: int = 512,
     assert a.shape == b.shape == (N_LIMBS, n)
     blk = min(block, n)
     assert n % blk == 0, f"batch {n} not divisible by block {blk}"
+    if blk % 1024 == 0 and n % 128 == 0:
+        # (rows, 128) sublane×lane tiles: full (8, 128) u32 vregs per
+        # limb op (round 4 — 1-D limb rows used 1 of 8 sublanes)
+        rows, sub = n // 128, blk // 128
+        spec = pl.BlockSpec((N_LIMBS, sub, 128), lambda i: (0, i, 0))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N_LIMBS, rows, 128), jnp.uint32),
+            grid=(rows // sub,),
+            in_specs=[spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+        )(a.reshape(N_LIMBS, rows, 128), b.reshape(N_LIMBS, rows, 128))
+        return out.reshape(N_LIMBS, n)
     grid = (n // blk,)
     spec = pl.BlockSpec((N_LIMBS, blk), lambda i: (0, i))
     return pl.pallas_call(

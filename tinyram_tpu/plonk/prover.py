@@ -171,6 +171,28 @@ def _compress_traced(vals: list[jnp.ndarray], th: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+# column-chunked coset lift for the jitted quotient blocks: caps the NTT
+# working set inside one program at _EXT_CHUNK extended columns; the
+# concatenated (16, V, n_ext) output is needed regardless, but the NTT
+# intermediates (transpose buffers, stage temporaries) only ever exist for
+# one chunk at a time.  Part of the r4 fix for the k=14 TPU-worker crash
+# in the first gate slab (VERDICT r3 item 2).
+_EXT_CHUNK = int(_os.environ.get("TINYRAM_EXT_CHUNK", "64"))
+
+
+def _lift_chunked(dom, stack: jnp.ndarray) -> jnp.ndarray:
+    v = stack.shape[1]
+    if v <= _EXT_CHUNK:
+        return dom.coeff_to_extended(stack)
+    return jnp.concatenate(
+        [
+            dom.coeff_to_extended(stack[:, lo : lo + _EXT_CHUNK])
+            for lo in range(0, v, _EXT_CHUNK)
+        ],
+        axis=1,
+    )
+
+
 def _gate_fold_fns(cs, dom, scale: int, slab: int):
     """[(jitted fn(stack, w) -> (16, n_ext) partial, var_list, n)] per slab.
 
@@ -195,7 +217,7 @@ def _gate_fold_fns(cs, dom, scale: int, slab: int):
 
         def make(exprs=exprs, pos=pos):
             def fn(stack, w):
-                ext = dom.coeff_to_extended(stack)
+                ext = _lift_chunked(dom, stack)
 
                 def get_col(kind, index):
                     return ext[:, pos[(kind, index)]]
@@ -240,8 +262,8 @@ def _aux_fold_fns(cs, dom, scale: int):
 
         def make(lk=lk, pos=pos):
             def fn(qstack, astack, tables, ch, w):
-                qext = dom.coeff_to_extended(qstack)
-                aext = dom.coeff_to_extended(astack)
+                qext = _lift_chunked(dom, qstack)
+                aext = _lift_chunked(dom, astack)
                 l0, l_last, active = tables[:, 0], tables[:, 1], tables[:, 2]
                 theta, beta, gamma = ch[:, 0], ch[:, 1], ch[:, 2]
 
@@ -300,8 +322,8 @@ def _aux_fold_fns(cs, dom, scale: int):
 
         def make(rl=rl, pos=pos, batches=batches):
             def fn(qstack, astack, tables, beta, w):
-                qext = dom.coeff_to_extended(qstack)
-                aext = dom.coeff_to_extended(astack)
+                qext = _lift_chunked(dom, qstack)
+                aext = _lift_chunked(dom, astack)
                 l0, l_last, active = tables[:, 0], tables[:, 1], tables[:, 2]
 
                 def get_col(kind, index):
@@ -815,7 +837,7 @@ def create_proof(
             else FP.add(fold_state["acc"], part)
         )
 
-    _GATE_SLAB = 48
+    _GATE_SLAB = int(_os.environ.get("TINYRAM_GATE_SLAB", "48"))
     for fn, vars_, n_slab in _gate_fold_fns(cs, dom, scale, _GATE_SLAB):
         stack = jnp.stack([coeff[v] for v in vars_], axis=1)
         _add_part(fn(stack, _take_w(n_slab)))

@@ -285,15 +285,24 @@ def four_step(
     log_max = s_max.bit_length() - 1
     log_a = min(log_max, (log_s + 1) // 2)
     a, b = 1 << log_a, 1 << (log_s - log_a)
-    # stage A: colNTT_a over the (a, b·L) view, cross twiddle fused
+    # stage A: colNTT_a over the (a, b·L) view (always a single base call,
+    # since a ≤ s_max), then the cross twiddle as an eager broadcast-fused
+    # multiply.  Round 4: the twiddle used to be materialized to the full
+    # (16, a, b·L) data size and passed as the kernel's output multiplier —
+    # at k=14's extended domain with ~190-column stacks that tripled peak
+    # HBM inside the jitted quotient slabs and crashed the TPU worker
+    # (logs/bench_prover_r3e.log).  The eager multiply lets XLA fuse the
+    # (16, a, b) table broadcast without ever materializing it; the extra
+    # HBM pass is noise (the transform is VPU-compute-bound, ROADMAP r3).
     xa = x.reshape(N_LIMBS, a, b * L)
     cross = jnp.asarray(
         _cross_twiddles_host(field_name, log_a, log_s - log_a, inverse, 1)
     )  # (16, a, b)
-    cross_full = jnp.broadcast_to(
-        cross[:, :, :, None], (N_LIMBS, a, b, L)
+    y = four_step(xa, field_name, inverse, None, base_fn, s_max)
+    f = _field(field_name)
+    y = f.mul(
+        y.reshape(N_LIMBS, a, b, L), cross[:, :, :, None]
     ).reshape(N_LIMBS, a, b * L)
-    y = four_step(xa, field_name, inverse, cross_full, base_fn, s_max)
     # middle transpose (a, b) -> (b, a); recurse on b with the caller's mult
     y = y.reshape(N_LIMBS, a, b, L).transpose(0, 2, 1, 3)
     m_rec = None
@@ -330,14 +339,16 @@ def _ntt_pallas_impl(a, field_name, inverse, use_kernel=True):
         B *= d
     x = a.reshape(N_LIMBS, B, n)
     x = jnp.moveaxis(x, 1, 2)  # (16, n, B): transform axis -> sublanes
-    mult = None
+    out = colntt(x, field_name, inverse, mult=None, use_kernel=use_kernel)
     if inverse:
+        # 1/n scale as an eager broadcast-fused multiply (round 4: the
+        # broadcast_to (16, n, B) mult was materialized at the pallas_call
+        # boundary — full data size for nothing)
         n_inv = pow(n, f.modulus - 2, f.modulus)
         from .ntt import _mont_table
 
         inv_tbl = jnp.asarray(_mont_table(f, [n_inv]))  # (16, 1)
-        mult = jnp.broadcast_to(inv_tbl[:, :, None], (N_LIMBS, n, B))
-    out = colntt(x, field_name, inverse, mult=mult, use_kernel=use_kernel)
+        out = f.mul(out, inv_tbl[:, :, None])
     out = jnp.moveaxis(out, 2, 1)
     return out.reshape(a.shape)
 
