@@ -44,7 +44,7 @@ def main():
     from tinyram_tpu.utils.profiling import counters
 
     print("device:", jax.devices()[0], flush=True)
-    prog = config2_program(1 << steps_log2)
+    prog = config2_program(1 << steps_log2, word_bits=word_bits)
     t0 = time.time()
     tr = eval_program(prog, word_bits, 8)
     print(f"emulated {len(tr)} steps in {time.time()-t0:.2f}s", flush=True)

@@ -17,16 +17,25 @@ def _i(op, ri=None, rj=None, a=0, areg=None):
     return Instruction(op, ri, rj, Reg(areg) if areg is not None else Imm(a))
 
 
-def config2_program(steps: int = 1 << 12) -> list:
+def config2_program(steps: int = 1 << 12, word_bits: int = 24) -> list:
     """Arithmetic/bitwise mix: a loop whose body touches Add/Sub/Mull/
     UMulh/SMulh/UDiv/UMod/And/Or/Xor/Not/Shl/Shr/compares (~19 steps per
-    iteration), sized to execute ~``steps`` instructions."""
+    iteration), sized to execute ~``steps`` instructions.
+
+    ``word_bits`` masks the immediates so the same program shape is
+    satisfiable at any word size (r4: the raw 24-bit constants made W=16
+    smoke runs silently unsatisfiable)."""
+    mask = (1 << word_bits) - 1
+
+    def m(v):
+        return v & mask
+
     body = [
-        _i("Add", ri=1, rj=1, a=0x9E3779),
+        _i("Add", ri=1, rj=1, a=m(0x9E3779)),
         _i("Sub", ri=2, rj=1, areg=3),
-        _i("Mull", ri=3, rj=2, a=0x85EBCA),
+        _i("Mull", ri=3, rj=2, a=m(0x85EBCA)),
         _i("UMulh", ri=4, rj=3, areg=1),
-        _i("SMulh", ri=5, rj=4, a=0xC2B2AE),
+        _i("SMulh", ri=5, rj=4, a=m(0xC2B2AE)),
         _i("UDiv", ri=6, rj=3, a=7),
         _i("UMod", ri=7, rj=3, a=11),
         _i("And", ri=4, rj=4, areg=2),
@@ -36,7 +45,7 @@ def config2_program(steps: int = 1 << 12) -> list:
         _i("Shl", ri=2, rj=6, a=3),
         _i("Shr", ri=3, rj=5, a=5),
         _i("Cmpa", ri=4, areg=5),
-        _i("CMov", ri=5, a=0x1234),
+        _i("CMov", ri=5, a=m(0x1234)),
         _i("Cmpg", ri=6, areg=7),
     ]
     # loop control: r0 counts down

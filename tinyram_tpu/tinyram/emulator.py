@@ -74,6 +74,16 @@ def eval_program(
 ) -> Trace:
     mask = word_mask(word_bits)
     w = word_bits
+    # loud validation: an immediate beyond the word size would be masked
+    # here but committed raw into the prog-table instance, yielding a
+    # silently unsatisfiable witness (r4: a W=16 run of the W=24 config-2
+    # program "failed to verify" with every constraint nonzero)
+    for i, inst in enumerate(prog):
+        if isinstance(inst.a, Imm) and not 0 <= inst.a.value <= mask:
+            raise ValueError(
+                f"program line {i} ({inst.op}): immediate "
+                f"{inst.a.value:#x} does not fit word_bits={word_bits}"
+            )
     regs = [0] * reg_count
     flag = False
     pc = 0
