@@ -300,9 +300,18 @@ def four_step(
     )  # (16, a, b)
     y = four_step(xa, field_name, inverse, None, base_fn, s_max)
     f = _field(field_name)
-    y = f.mul(
-        y.reshape(N_LIMBS, a, b, L), cross[:, :, :, None]
-    ).reshape(N_LIMBS, a, b * L)
+    if L % 128 == 0 or L >= 512:
+        y = f.mul(
+            y.reshape(N_LIMBS, a, b, L), cross[:, :, :, None]
+        ).reshape(N_LIMBS, a, b * L)
+    else:
+        # small L (e.g. a 52-column chunk inside a quotient slab): a
+        # (…, b, L) minor-dim layout pads L up to 128 lanes in every HLO
+        # temp — 2.5x memory expansion that OOMed the k=14 prover
+        # (logs/bench_prover_r4.log).  Put b on the lane axis instead.
+        y4 = y.reshape(N_LIMBS, a, b, L).transpose(0, 1, 3, 2)
+        y4 = f.mul(y4, cross[:, :, None, :])
+        y = y4.transpose(0, 1, 3, 2).reshape(N_LIMBS, a, b * L)
     # middle transpose (a, b) -> (b, a); recurse on b with the caller's mult
     y = y.reshape(N_LIMBS, a, b, L).transpose(0, 2, 1, 3)
     m_rec = None
@@ -340,16 +349,18 @@ def _ntt_pallas_impl(a, field_name, inverse, use_kernel=True):
     x = a.reshape(N_LIMBS, B, n)
     x = jnp.moveaxis(x, 1, 2)  # (16, n, B): transform axis -> sublanes
     out = colntt(x, field_name, inverse, mult=None, use_kernel=use_kernel)
+    out = jnp.moveaxis(out, 2, 1)  # (16, B, n): n back on the lane axis
     if inverse:
         # 1/n scale as an eager broadcast-fused multiply (round 4: the
         # broadcast_to (16, n, B) mult was materialized at the pallas_call
-        # boundary — full data size for nothing)
+        # boundary — full data size for nothing).  Applied AFTER the
+        # moveaxis so the multiply's minor dims are (B, n) — with n on
+        # lanes there is no small-minor-dim padding blow-up.
         n_inv = pow(n, f.modulus - 2, f.modulus)
         from .ntt import _mont_table
 
         inv_tbl = jnp.asarray(_mont_table(f, [n_inv]))  # (16, 1)
         out = f.mul(out, inv_tbl[:, :, None])
-    out = jnp.moveaxis(out, 2, 1)
     return out.reshape(a.shape)
 
 
