@@ -71,6 +71,25 @@ def main():
         assert not failures, "config-3 witness does not satisfy the circuit"
         result["extra"]["mock_seconds"] = round(dt, 1)
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, "BENCH_CONFIG3.json")
+
+    def _flush():
+        # merge with prior evidence and write incrementally, so a run cut
+        # off mid-prove still records keygen/witness milestones
+        merged = dict(result)
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    prior = json.load(fh).get("extra", {})
+                for k2, v in prior.items():
+                    merged["extra"].setdefault(k2, v)
+            except Exception:
+                pass
+        with open(out_path, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        return merged
+
     if PROVE:
         from tinyram_tpu.ipa import setup
         from tinyram_tpu.plonk import create_proof
@@ -90,9 +109,11 @@ def main():
             print(f"pk loaded from cache: {time.time()-t0:.1f}s", flush=True)
         else:
             pk = circ.keygen(srs)
+            result["extra"]["keygen_s"] = round(time.time() - t0, 1)
             print(f"keygen: {time.time()-t0:.1f}s", flush=True)
             os.makedirs(cache_dir, exist_ok=True)
             save_pk(pk_path, pk)
+        _flush()
         from tinyram_tpu.utils.profiling import counters
 
         t0 = time.time()
@@ -113,19 +134,7 @@ def main():
             phases=phases,
         )
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(root, "BENCH_CONFIG3.json")
-    # merge with prior evidence (e.g. keep mock_seconds when only proving)
-    if os.path.exists(out_path):
-        try:
-            with open(out_path) as fh:
-                prior = json.load(fh).get("extra", {})
-            for k2, v in prior.items():
-                result["extra"].setdefault(k2, v)
-        except Exception:
-            pass
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
+    result = _flush()
     print(json.dumps(result), flush=True)
 
 

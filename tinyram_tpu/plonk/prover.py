@@ -236,6 +236,48 @@ def _gate_fold_fns(cs, dom, scale: int, slab: int):
     return fns
 
 
+def _theta_powers_traced(th: jnp.ndarray, count: int) -> list:
+    """[θ^0 … θ^{count-1}] as (16, 1) traced scalars (serial chain of
+    tiny muls — negligible next to the extended-domain work)."""
+    pows = [FP.ones((1,))]
+    for _ in range(count - 1):
+        pows.append(FP.mul(pows[-1], th))
+    return pows
+
+
+def _compress_exprs_chunked(
+    exprs, th, get_col, scale: int, n_ext: int, chunk: int = 8
+) -> jnp.ndarray:
+    """Σ_i θ^i·expr_i evaluated on the extended domain in small
+    chunks.  Equal to `_compress_traced(_eval_exprs_on(exprs, …), θ)` but
+    caps concurrently-live (16, B, n_ext) stacks at `chunk` expressions —
+    the 97-expression dynamic prog lookup evaluated all at once held
+    dozens of 256 MB temps and OOMed the k=14 compile
+    (logs/bench_prover_r4b.log)."""
+    B = len(exprs)
+    if B == 1:
+        return _eval_exprs_on(exprs, get_col, 0, scale, {})[0]
+    pows = _theta_powers_traced(th, B)
+    acc = None
+    for lo in range(0, B, chunk):
+        sub = exprs[lo : lo + chunk]
+        vals = _eval_exprs_on(sub, get_col, 0, scale, {})
+        w = jnp.stack([pows[lo + j] for j in range(len(sub))],
+                      axis=1)  # (16, CH, 1)
+        part = tree_sum(
+            FP,
+            FP.mul(
+                jnp.stack(
+                    [jnp.broadcast_to(v, (16, n_ext)) for v in vals], axis=1
+                ),
+                w,
+            ),
+            axis=1,
+        )
+        acc = part if acc is None else FP.add(acc, part)
+    return acc
+
+
 def _aux_fold_fns(cs, dom, scale: int):
     """Jitted quotient programs for the lookup and LogUp argument rules.
 
@@ -270,11 +312,12 @@ def _aux_fold_fns(cs, dom, scale: int):
                 def get_col(kind, index):
                     return qext[:, pos[(kind, index)]]
 
-                cache: dict = {}
-                in_ext = _eval_exprs_on(lk.inputs, get_col, 0, scale, cache)
-                tb_ext = _eval_exprs_on(lk.tables, get_col, 0, scale, cache)
-                a_ext = _compress_traced(in_ext, theta)
-                s_ext = _compress_traced(tb_ext, theta)
+                a_ext = _compress_exprs_chunked(
+                    lk.inputs, theta, get_col, scale, n_ext
+                )
+                s_ext = _compress_exprs_chunked(
+                    lk.tables, theta, get_col, scale, n_ext
+                )
                 ap, sp, zl = aext[:, 0], aext[:, 1], aext[:, 2]
                 zl_next = jnp.roll(zl, -scale, axis=-1)
                 ap_prev = jnp.roll(ap, scale, axis=-1)
@@ -329,9 +372,7 @@ def _aux_fold_fns(cs, dom, scale: int):
                 def get_col(kind, index):
                     return qext[:, pos[(kind, index)]]
 
-                cache: dict = {}
-                in_ext = _eval_exprs_on(rl.inputs, get_col, 0, scale, cache)
-                t_ext = _eval_exprs_on([rl.table], get_col, 0, scale, cache)[0]
+                t_ext = _eval_exprs_on([rl.table], get_col, 0, scale, {})[0]
                 m_ext, ht_ext, z = aext[:, 0], aext[:, 1], aext[:, 2]
                 h_exts = [aext[:, 3 + b] for b in range(len(batches))]
                 z_next = jnp.roll(z, -scale, axis=-1)
@@ -348,8 +389,15 @@ def _aux_fold_fns(cs, dom, scale: int):
                 )
                 j0 = 0
                 for b, batch in enumerate(batches):
+                    # per-batch evaluation keeps only this batch's few
+                    # extended columns live (same OOM fix as the lookup
+                    # fold's chunked compression above)
+                    batch_ext = _eval_exprs_on(
+                        rl.inputs[j0 : j0 + len(batch)], get_col, 0,
+                        scale, {},
+                    )
                     ds = [
-                        FP.add(in_ext[j0 + j], beta) for j in range(len(batch))
+                        FP.add(batch_ext[j], beta) for j in range(len(batch))
                     ]
                     j0 += len(batch)
                     prod_all = ds[0]
