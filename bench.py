@@ -108,10 +108,14 @@ def main():
 
 
 def _run_measurements(extra, headline):
-    # ---- step 0: cached artifacts (instant, land first)
+    # ---- step 0: cached artifacts (instant, land first).  Every cached
+    # artifact is stamped with the round/commit it was RECORDED at (the
+    # producers write extra.recorded since r5); artifacts predating the
+    # stamp are labeled so stale data is visibly stale (VERDICT r4 weak 1).
     for fname, key in [
         ("BENCH_PROVER.json", "prover_config2"),
         ("BENCH_CONFIG3.json", "config3_2^16_steps"),
+        ("BENCH_CONFIG4.json", "config4_2^20_steps"),
         ("SCALING_VIRTUAL.json", "scaling_virtual_mesh"),
     ]:
         path = os.path.join(ROOT, fname)
@@ -119,8 +123,11 @@ def _run_measurements(extra, headline):
             try:
                 with open(path) as fh:
                     data = json.load(fh)
-                extra[key] = data.get("extra", data) if key != \
+                payload = data.get("extra", data) if key != \
                     "scaling_virtual_mesh" else data
+                if isinstance(payload, dict) and "recorded" not in payload:
+                    payload["recorded"] = "unknown (pre-r5 artifact)"
+                extra[key] = payload
                 if key == "prover_config2":
                     extra["proof_seconds_config2"] = data["value"]
             except Exception as e:
@@ -135,7 +142,50 @@ def _run_measurements(extra, headline):
     extra["device"] = str(jax.devices()[0])
     rng = np.random.default_rng(1)
 
-    # ---- step 1: batched modular multiply throughput (cheap)
+    # ---- step 1: MSM @2^16 — THE HEADLINE, so it runs FIRST (BENCH_r04
+    # budget-skipped it to value 0 by scheduling it last; VERDICT r4 #2).
+    # SRS is disk-cached after the first ever run.
+    from tinyram_tpu.curve.msm import msm
+    from tinyram_tpu.ipa.srs import setup
+
+    def _msm16():
+        log_msm = int(os.environ.get("BENCH_LOG_MSM", "16"))
+        srs = setup(log_msm)
+        n_msm = 1 << log_msm
+        sc_limbs = rng.integers(0, 1 << 16, size=(16, n_msm)).astype(np.uint32)
+        sc_limbs[15] &= 0x3FFF
+        sc = jax.device_put(sc_limbs)
+        dt = _time(lambda s: msm(s, srs.g).x, sc, iters=2)
+        headline["rate"] = round(n_msm / dt)
+        extra["msm_points_per_s"] = headline["rate"]
+        extra["msm_size"] = n_msm
+        extra["msm_baseline_round"] = "r2 @2^16: 451408 pts/s (same size)"
+
+    _step(extra, "msm_points_per_s", 60, _msm16)
+
+    # ---- step 2: MSM @2^20 — BASELINE config-4 scale.  SRS k=20 setup is
+    # disk-cached; the first-ever generation takes ~10 min (then never
+    # again).
+    def _msm20():
+        log2 = int(os.environ.get("BENCH_LOG_MSM2", "20"))
+        srs_cached = os.path.exists(os.path.join(
+            os.environ.get("TINYRAM_TPU_CACHE",
+                           os.path.expanduser("~/.cache/tinyram_tpu")),
+            f"srs_vesta_k{log2}.npz"))
+        if not srs_cached and _remaining() < 600:
+            extra[f"msm_points_per_s_2^{log2}"] = "skipped: SRS not cached"
+            return
+        srs2 = setup(log2)
+        n2 = 1 << log2
+        sc2_l = rng.integers(0, 1 << 16, size=(16, n2)).astype(np.uint32)
+        sc2_l[15] &= 0x3FFF
+        sc2 = jax.device_put(sc2_l)
+        dt2 = _time(lambda s: msm(s, srs2.g).x, sc2, iters=2)
+        extra[f"msm_points_per_s_2^{log2}"] = round(n2 / dt2)
+
+    _step(extra, "msm_points_per_s_2^20", 120, _msm20)
+
+    # ---- step 3: batched modular multiply throughput (cheap)
     def _modmul():
         n_mod = 1 << int(os.environ.get("BENCH_LOG_MODMUL", "18"))
         limbs = rng.integers(0, 1 << 16, size=(2, 16, n_mod)).astype(np.uint32)
@@ -151,9 +201,9 @@ def _run_measurements(extra, headline):
         except Exception as e:  # pallas unavailable on some backends
             extra["modmul_pallas_per_s"] = f"error: {type(e).__name__}"
 
-    _step(extra, "modmul_per_s", 60, _modmul)
+    _step(extra, "modmul_per_s", 45, _modmul)
 
-    # ---- step 2: NTT throughput — single column @2^20 (the like-for-like
+    # ---- step 4: NTT throughput — single column @2^20 (the like-for-like
     # number vs rounds 1-3) and the 16-column batched transform (what the
     # prover actually does: ~190-column batches; lanes amortize)
     def _ntt_single():
@@ -180,49 +230,7 @@ def _run_measurements(extra, headline):
         extra["ntt_batched_elems_per_s"] = round(ncols * nb / dt)
         extra["ntt_batched_shape"] = f"{ncols}x2^{nb.bit_length()-1}"
 
-    _step(extra, "ntt_batched_elems_per_s", 90, _ntt_batched)
-
-    # ---- step 3: MSM @2^16 — the headline (SRS is disk-cached after the
-    # first ever run, so this is MSM cost + one compile)
-    from tinyram_tpu.curve.msm import msm
-    from tinyram_tpu.ipa.srs import setup
-
-    def _msm16():
-        log_msm = int(os.environ.get("BENCH_LOG_MSM", "16"))
-        srs = setup(log_msm)
-        n_msm = 1 << log_msm
-        sc_limbs = rng.integers(0, 1 << 16, size=(16, n_msm)).astype(np.uint32)
-        sc_limbs[15] &= 0x3FFF
-        sc = jax.device_put(sc_limbs)
-        dt = _time(lambda s: msm(s, srs.g).x, sc, iters=2)
-        headline["rate"] = round(n_msm / dt)
-        extra["msm_points_per_s"] = headline["rate"]
-        extra["msm_size"] = n_msm
-        extra["msm_baseline_round"] = "r2 @2^16: 451408 pts/s (same size)"
-
-    _step(extra, "msm_points_per_s", 120, _msm16)
-
-    # ---- step 4 (optional): MSM @2^20 — BASELINE config-4 scale.  Only
-    # if the budget still has room; SRS k=20 setup is disk-cached but the
-    # first-ever generation takes ~10 min (then never again).
-    def _msm20():
-        log2 = int(os.environ.get("BENCH_LOG_MSM2", "20"))
-        srs_cached = os.path.exists(os.path.join(
-            os.environ.get("TINYRAM_TPU_CACHE",
-                           os.path.expanduser("~/.cache/tinyram_tpu")),
-            f"srs_vesta_k{log2}.npz"))
-        if not srs_cached and _remaining() < 600:
-            extra[f"msm_points_per_s_2^{log2}"] = "skipped: SRS not cached"
-            return
-        srs2 = setup(log2)
-        n2 = 1 << log2
-        sc2_l = rng.integers(0, 1 << 16, size=(16, n2)).astype(np.uint32)
-        sc2_l[15] &= 0x3FFF
-        sc2 = jax.device_put(sc2_l)
-        dt2 = _time(lambda s: msm(s, srs2.g).x, sc2, iters=2)
-        extra[f"msm_points_per_s_2^{log2}"] = round(n2 / dt2)
-
-    _step(extra, "msm_points_per_s_2^20", 150, _msm20)
+    _step(extra, "ntt_batched_elems_per_s", 60, _ntt_batched)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,12 @@ First run on a fresh process includes XLA/Mosaic compiles — the second
 The proving key is persisted via plonk/serialize.py (round 4): the first
 run pays keygen (~224 s at k=14) once, reruns load the pk in seconds.
 Verify is timed twice — cold (incl. its own compiles) and warm.
+
+Round 5: the top-level invocation is a RETRY DRIVER — it re-execs itself
+with --inner in a subprocess, retrying transient tunnel/runtime failures
+with backoff and stepping down the TINYRAM_EXT_CHUNK / TINYRAM_GATE_SLAB
+memory knobs on HBM OOM (the knobs are read at tinyram_tpu import time,
+so a fresh process per attempt is required for them to take effect).
 """
 
 import json
@@ -18,6 +24,58 @@ import os
 import subprocess
 import sys
 import time
+
+# Failure-signature classification for the retry driver.  Transient axon
+# tunnel errors (the r4c killer: "response body closed before all bytes
+# were read") get a plain retry; HBM OOM gets a knob step-down + retry.
+_OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM", "exceeds the"
+                " memory available")
+_TRANSIENT_MARKERS = ("response body closed", "remote_compile",
+                      "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed",
+                      "Connection reset", "INTERNAL:")
+
+
+def _drive():
+    max_attempts = int(os.environ.get("TINYRAM_BENCH_ATTEMPTS", "4"))
+    ext_chunk = int(os.environ.get("TINYRAM_EXT_CHUNK", "64"))
+    gate_slab = int(os.environ.get("TINYRAM_GATE_SLAB", "48"))
+    for attempt in range(1, max_attempts + 1):
+        env = dict(os.environ)
+        env["TINYRAM_EXT_CHUNK"] = str(ext_chunk)
+        env["TINYRAM_GATE_SLAB"] = str(gate_slab)
+        print(f"[driver] attempt {attempt}/{max_attempts} "
+              f"EXT_CHUNK={ext_chunk} GATE_SLAB={gate_slab}", flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--inner"]
+            + sys.argv[1:],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        tail = []
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            tail.append(line)
+            if len(tail) > 400:
+                tail.pop(0)
+        rc = proc.wait()
+        if rc == 0:
+            return 0
+        blob = "".join(tail)
+        if any(m in blob for m in _OOM_MARKERS):
+            ext_chunk = max(8, ext_chunk // 2)
+            gate_slab = max(8, gate_slab // 2)
+            print(f"[driver] OOM detected; stepping down to "
+                  f"EXT_CHUNK={ext_chunk} GATE_SLAB={gate_slab}", flush=True)
+        elif any(m in blob for m in _TRANSIENT_MARKERS):
+            print("[driver] transient runtime/tunnel error; retrying",
+                  flush=True)
+        else:
+            print(f"[driver] non-retryable failure (rc={rc}); giving up",
+                  flush=True)
+            return rc
+        time.sleep(min(60, 10 * attempt))
+    print("[driver] out of attempts", flush=True)
+    return 1
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 subprocess.run(["sysctl", "-w", "vm.max_map_count=4000000"],
@@ -31,9 +89,23 @@ _PK_CACHE_DIR = os.environ.get(
 )
 
 
+def _git_stamp():
+    """Commit + date stamp so cached artifacts are visibly (not) stale."""
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    return {"commit": sha or "unknown", "round": "r5",
+            "date": time.strftime("%Y-%m-%d")}
+
+
 def main():
-    steps_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    word_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    args = [a for a in sys.argv[1:] if a != "--inner"]
+    steps_log2 = int(args[0]) if len(args) > 0 else 12
+    word_bits = int(args[1]) if len(args) > 1 else 24
 
     import jax
 
@@ -124,6 +196,7 @@ def main():
             "proof_bytes": len(proof),
             "phases": phases,
             "device": str(jax.devices()[0]),
+            "recorded": _git_stamp(),
         },
     }
     print(json.dumps(result), flush=True)
@@ -137,4 +210,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(_drive())

@@ -30,6 +30,8 @@ buckets combined with `psum`-style tree adds) lives in shard/msm.py.
 
 from __future__ import annotations
 
+import os
+
 from functools import lru_cache, partial
 
 import jax
@@ -79,16 +81,20 @@ def _mixed_select():
 
     return jnp_mixed
 
-import os as _os
-
 # Peak per-group element budget: a group materializes ~3x (sorted points,
 # scan outputs, gathers) x 192 B/point, so 2^22 elements ~= 2.5 GB peak.
-# Tunable for A/B on chip (scripts/tune_msm_window.py).
-_GROUP_ELEMS = 1 << int(_os.environ.get("TINYRAM_MSM_GROUP_LOG2", "22"))
+# Tunable for A/B on chip (scripts/tune_msm_window.py).  Read lazily so
+# setting TINYRAM_MSM_GROUP_LOG2 / TINYRAM_MSM_LANES_LOG2 after import
+# still takes effect (ADVICE r4); the values join _plan's cache key.
+def _group_elems() -> int:
+    return 1 << int(os.environ.get("TINYRAM_MSM_GROUP_LOG2", "22"))
+
+
 # Total lanes per scan step.  Each step is one fused point-add kernel at
 # this width; wider = fewer, larger kernel launches (the scan's step count
 # is n_pad / (lanes per window)).  32K lanes ≈ 6 MB live per step.
-_TARGET_LANES = 1 << int(_os.environ.get("TINYRAM_MSM_LANES_LOG2", "15"))
+def _target_lanes() -> int:
+    return 1 << int(os.environ.get("TINYRAM_MSM_LANES_LOG2", "15"))
 
 
 def choose_window_bits(n: int) -> int:
@@ -155,16 +161,20 @@ def signed_digits(scalars_plain: jnp.ndarray, c: int):
     return jnp.abs(out), out < 0
 
 
-@lru_cache(maxsize=None)
 def _plan(n: int, n_windows: int):
+    return _plan_impl(n, n_windows, _group_elems(), _target_lanes())
+
+
+@lru_cache(maxsize=None)
+def _plan_impl(n: int, n_windows: int, group_elems: int, target_lanes: int):
     """(group_size G, chunk length L, padded N) for the bucket pipeline."""
-    g = max(1, min(n_windows, _GROUP_ELEMS // max(n, 1)))
-    # chunk lanes across the whole group: aim for _TARGET_LANES total.
+    g = max(1, min(n_windows, group_elems // max(n, 1)))
+    # chunk lanes across the whole group: aim for target_lanes total.
     # Round lanes to a multiple of 128 (full vreg rows) instead of a power
     # of two — the old pow2 rounding ran e.g. 2^16/c=13 at 1024 of a 1638
     # lane budget (62%), inflating the serial step count (r4, VERDICT r3
     # weak #3).
-    k_per_window = max(1, _TARGET_LANES // g)
+    k_per_window = max(1, target_lanes // g)
     cap = min(k_per_window, max(1, n // 8))
     if cap >= 128:
         lanes = (cap // 128) * 128
@@ -179,6 +189,45 @@ def _plan(n: int, n_windows: int):
 
 def _shift_lanes(coord: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([fill[..., :d], coord[..., :-d]], axis=-1)
+
+
+def batch_inv(d: jnp.ndarray, stop_width: int = 256) -> jnp.ndarray:
+    """Batched modular inverse over the last axis via a product tree.
+
+    Montgomery's simultaneous-inversion trick, restructured for a vector
+    machine: the serial prefix-product becomes a log-depth pairing tree
+    (up-sweep ~1 mul/lane of work), ONE vectorized Fermat exponentiation at
+    `stop_width` (255 serial squarings cost the same wall-clock at width
+    256 as at width 1), then a down-sweep (inv_left = inv_parent · right,
+    inv_right = inv_parent · left; ~2 muls/lane).  Total ~3 muls/lane +
+    one shared inversion — the "one shared Montgomery inversion per scan
+    step across lanes" lever for batched-affine bucket accumulation.
+
+    Zero inputs poison their whole subtree product: callers must
+    pre-substitute zeros with one (the MSM scan routes those lanes to the
+    spill bucket, so their garbage inverses are never observed).
+    """
+    levels = []  # (left, right, width_before_padding)
+    cur = d
+    while cur.shape[-1] > stop_width:
+        n = cur.shape[-1]
+        if n % 2:
+            cur = jnp.concatenate(
+                [cur, FQ.ones(cur.shape[1:-1] + (1,))], axis=-1
+            )
+        left, right = cur[..., 0::2], cur[..., 1::2]
+        levels.append((left, right, n))
+        cur = FQ.mul(left, right)
+    inv = FQ.inv(cur)  # one vectorized Fermat ladder (fori_loop — compact
+    # HLO; an unrolled chain made the scan body unjittable in finite time)
+    for left, right, n in reversed(levels):
+        inv_left = FQ.mul(inv, right)
+        inv_right = FQ.mul(inv, left)
+        w = left.shape[-1]
+        inv = jnp.stack([inv_left, inv_right], axis=-1).reshape(
+            left.shape[:-1] + (2 * w,)
+        )[..., :n]
+    return inv
 
 
 def _group_bucket_sums_inner(
@@ -245,16 +294,76 @@ def _group_bucket_sums_inner(
     ).T  # (L, M)
 
     _padd, _psel, _pdbl = _ops()
-    _mixed = _mixed_select()
 
-    def step(acc: PointBatch, inp):
-        s, cx, cy = inp
-        acc = _mixed(s, acc, cx, cy)
-        return acc, acc
+    if os.environ.get("TINYRAM_MSM_AFFINE", "1") != "0":
+        # ---- batched-affine segmented scan (round 5).  The accumulator
+        # stays AFFINE (x, y, inf-flag): a λ-based affine add is 4 muls +
+        # ~3 muls of shared batch_inv tree ≈ 7 muls/lane/step vs the 11-mul
+        # projective mixed add (RCB16 Alg 8).  The λ denominators are
+        # independent across the M lanes, so one product tree + one
+        # vectorized Fermat per scan step serves every lane.  Case split:
+        #   restart (segment start) or inf acc  -> take q
+        #   x equal, y equal                    -> doubling (λ = 3x²/2y)
+        #   x equal, y differs (so y = −y')     -> cancel -> identity
+        #   else                                -> chord   (λ = Δy/Δx)
+        # Zero denominators only arise on garbage lanes (the (0,0) padding
+        # points route to the spill bucket); they are substituted with one
+        # so they cannot poison the shared product tree.
+        one_m = FQ.ones((M,))
 
-    _, ys = jax.lax.scan(
-        step, vesta.identity((M,)), (same, sx, sy), unroll=2
-    )
+        def step(carry, inp):
+            ax, ay, inf = carry
+            s, cx, cy = inp
+            x_eq = FQ.eq(ax, cx)
+            y_eq = FQ.eq(ay, cy)
+            dbl = jnp.logical_and(x_eq, y_eq)
+            cancel = jnp.logical_and(x_eq, ~y_eq)
+            ax2 = FQ.mul(ax, ax)
+            numer = FQ.select(
+                dbl, FQ.add(FQ.double(ax2), ax2), FQ.sub(cy, ay)
+            )
+            denom = FQ.select(dbl, FQ.double(ay), FQ.sub(cx, ax))
+            active = jnp.logical_and(s, jnp.logical_and(~inf, ~cancel))
+            safe = jnp.logical_and(active, ~FQ.is_zero(denom))
+            denom = FQ.select(safe, denom, one_m)
+            lam = FQ.mul(numer, batch_inv(denom))
+            x3 = FQ.sub(FQ.sub(FQ.mul(lam, lam), ax), cx)
+            y3 = FQ.sub(FQ.mul(lam, FQ.sub(ax, x3)), ay)
+            takes_q = jnp.logical_or(~s, inf)
+            nx = FQ.select(takes_q, cx, x3)
+            ny = FQ.select(takes_q, cy, y3)
+            ninf = jnp.logical_and(
+                s, jnp.logical_and(~inf, cancel)
+            )
+            # identity lanes must carry the canonical (0 : 1 : 0) rep —
+            # the projective carry-fixup/bucket adds downstream assume
+            # on-curve inputs, and (garbage_x : garbage_y : 0) is not one
+            nx = FQ.select(ninf, FQ.zeros((M,)), nx)
+            ny = FQ.select(ninf, one_m, ny)
+            return (nx, ny, ninf), (nx, ny, ninf)
+
+        init = (FQ.zeros((M,)), FQ.zeros((M,)), jnp.ones((M,), bool))
+        _, (ys_x, ys_y, ys_inf) = jax.lax.scan(
+            step, init, (same, sx, sy), unroll=2
+        )
+        # lift back to projective for the carry fixup + scatter: z = 0 for
+        # identity lanes, Montgomery one otherwise
+        ys = PointBatch(
+            ys_x, ys_y,
+            jnp.where(ys_inf[:, None, :], jnp.zeros((), jnp.uint32),
+                      one_m[None]),
+        )
+    else:
+        _mixed = _mixed_select()
+
+        def step(acc: PointBatch, inp):
+            s, cx, cy = inp
+            acc = _mixed(s, acc, cx, cy)
+            return acc, acc
+
+        _, ys = jax.lax.scan(
+            step, vesta.identity((M,)), (same, sx, sy), unroll=2
+        )
     # ys: PointBatch of (L, 16, M) — within-chunk inclusive segment sums
 
     # ---- cross-chunk carry fixup (log-width over the chunk-lane axis)
@@ -556,6 +665,28 @@ def _msm_many_small_call(scalars_plain, points):
     return _tree_reduce_last(acc)
 
 
+def _check_affine_precondition(points: PointBatch) -> None:
+    """Debug-only assertion that every lane has z in {0, Montgomery one}.
+
+    The bucket pipeline lifts points as (x, y, 1) via the mixed add, so a
+    non-normalized projective input above the small-MSM cutoff would be
+    silently wrong (ADVICE r4).  Cost is one elementwise compare + reduce
+    over the z limbs, so it is gated on TINYRAM_DEBUG.
+    """
+    if not os.environ.get("TINYRAM_DEBUG"):
+        return
+    z = points.z
+    one = FQ.ones(z.shape[1:])
+    is_zero = jnp.all(z == 0, axis=0)
+    is_one = jnp.all(z == one, axis=0)
+    ok = bool(jax.device_get(jnp.all(is_zero | is_one)))
+    if not ok:
+        raise ValueError(
+            "msm: points must be affine-or-identity (z per lane 0 or "
+            "Montgomery one); normalize with to_affine_host/from_affine_host"
+        )
+
+
 @partial(jax.jit, static_argnums=2)
 def _msm_call(scalars_plain, points, c):
     digits, signs = signed_digits(scalars_plain, c)  # (W, N)
@@ -573,12 +704,18 @@ def msm(
 
     scalars_plain: (16, N) **plain-form** scalar limbs (use
     `FP.from_mont` first if coming from Montgomery-form field data).
-    points: PointBatch with batch (N,).
+    points: PointBatch with batch (N,), **affine-or-identity** — every
+    lane's z must be 0 (identity) or Montgomery one, as produced by
+    `vesta.from_affine_host` / the SRS.  The Pippenger path (n > 2^15)
+    uses the mixed Algorithm-8 add, which reads only (x, y) and treats
+    z == 0 as identity; arbitrary projective z would give a silently
+    wrong result.  Set TINYRAM_DEBUG=1 to assert the precondition.
     Returns a single projective point (batch ()).
     """
     n = scalars_plain.shape[-1]
     if n <= _SMALL_MSM_LANES:
         return _msm_small_call(scalars_plain, points)
+    _check_affine_precondition(points)
     c = window_bits or choose_window_bits(n)
     return _msm_call(scalars_plain, points, c)
 
@@ -597,10 +734,14 @@ def msm_many(
     of a PLONK circuit at once: all W·B windows run through the same
     bucket pipeline (in memory-bounded groups) instead of B sequential
     Pippenger runs.
+
+    Points must be **affine-or-identity** (z per lane 0 or Montgomery
+    one) — see `msm` for why; TINYRAM_DEBUG=1 asserts it.
     """
     _, B, n = scalars_plain.shape
     if B * n <= _SMALL_MSM_LANES:
         return _msm_many_small_call(scalars_plain, points)
+    _check_affine_precondition(points)
     c = window_bits or choose_window_bits(n)
     return _msm_many_call(scalars_plain, points, c)
 

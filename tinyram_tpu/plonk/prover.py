@@ -177,11 +177,15 @@ def _compress_traced(vals: list[jnp.ndarray], th: jnp.ndarray) -> jnp.ndarray:
 # intermediates (transpose buffers, stage temporaries) only ever exist for
 # one chunk at a time.  Part of the r4 fix for the k=14 TPU-worker crash
 # in the first gate slab (VERDICT r3 item 2).
-_EXT_CHUNK = int(_os.environ.get("TINYRAM_EXT_CHUNK", "64"))
+def _ext_chunk() -> int:
+    # read per call (not at import) so the bench retry driver's step-down
+    # takes effect without a re-import (ADVICE r4)
+    return int(_os.environ.get("TINYRAM_EXT_CHUNK", "64"))
 
 
 def _lift_chunked(dom, stack: jnp.ndarray) -> jnp.ndarray:
     v = stack.shape[1]
+    _EXT_CHUNK = _ext_chunk()
     if v <= _EXT_CHUNK:
         return dom.coeff_to_extended(stack)
     return jnp.concatenate(

@@ -81,6 +81,17 @@ def eval_program_native(
 ) -> Trace:
     lib = _build()
     L = len(prog)
+    # same loud immediate-vs-word-size validation as the Python
+    # eval_program (emulator.py): the C++ core masks immediates, but the
+    # prog-table instance commits them raw — an out-of-range immediate
+    # would yield a silently unsatisfiable witness (ADVICE r4)
+    mask = (1 << word_bits) - 1
+    for i, inst in enumerate(prog):
+        if isinstance(inst.a, Imm) and not 0 <= inst.a.value <= mask:
+            raise ValueError(
+                f"program line {i} ({inst.op}): immediate "
+                f"{inst.a.value:#x} does not fit word_bits={word_bits}"
+            )
     instrs = (_Instr * L)()
     for i, inst in enumerate(prog):
         instrs[i].op = inst.opcode
