@@ -29,7 +29,8 @@ import time
 # tunnel errors (the r4c killer: "response body closed before all bytes
 # were read") get a plain retry; HBM OOM gets a knob step-down + retry.
 _OOM_MARKERS = ("RESOURCE_EXHAUSTED", "Out of memory", "OOM", "exceeds the"
-                " memory available")
+                " memory available", "Ran out of memory",
+                "Exceeded hbm capacity")
 _TRANSIENT_MARKERS = ("response body closed", "remote_compile",
                       "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed",
                       "Connection reset", "INTERNAL:")

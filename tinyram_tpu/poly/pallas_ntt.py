@@ -237,6 +237,16 @@ def _cross_twiddles_host(
     return tbl.reshape(N_LIMBS, a, b)
 
 
+def _cross_repeat_budget() -> int:
+    """Byte budget for materializing a repeated cross-twiddle operand
+    (TINYRAM_NTT_CROSS_MB, default 256 MB — sized so the k≥14 quotient
+    slab chunks fall through to the memory-lean transpose path while the
+    bench-scale standalone batched transforms take the fast one)."""
+    import os
+
+    return int(os.environ.get("TINYRAM_NTT_CROSS_MB", "256")) * (1 << 20)
+
+
 def _choose_split(log_s: int) -> tuple[int, int]:
     """log_a + log_b = log_s with a ≤ S_MAX, preferring a balanced split
     so the recursion bottoms out fast and lanes stay wide."""
@@ -304,6 +314,17 @@ def four_step(
         y = f.mul(
             y.reshape(N_LIMBS, a, b, L), cross[:, :, :, None]
         ).reshape(N_LIMBS, a, b * L)
+    elif L % 8 == 0 and a * b * L * 64 <= _cross_repeat_budget():
+        # mid-size L (the 8-256-column batched transforms the prover
+        # actually issues): materialize the cross twiddle repeated L×
+        # along lanes — ONE aligned full-width multiply, no transposes.
+        # Costs one data-sized operand, so it is budget-gated: the k=14
+        # quotient slabs (dozens of live transforms) must keep the
+        # transpose path below (r4 OOM, logs/bench_prover_r4.log).
+        rep = jnp.repeat(cross[:, :, :, None], L, axis=3).reshape(
+            N_LIMBS, a, b * L
+        )
+        y = f.mul(y, rep)
     else:
         # small L (e.g. a 52-column chunk inside a quotient slab): a
         # (…, b, L) minor-dim layout pads L up to 128 lanes in every HLO
