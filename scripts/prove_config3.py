@@ -56,8 +56,19 @@ def main():
     asg = circ.assignment(tr)
     print(f"witness build: {time.time()-t0:.1f}s", flush=True)
 
+    import subprocess as _sp
+    try:
+        _sha = _sp.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True).stdout.strip() or "unknown"
+    except Exception:
+        _sha = "unknown"
     result = {"metric": "config3_2^16_steps", "value": len(tr),
-              "unit": "steps", "extra": {"k": K, "word_bits": W}}
+              "unit": "steps",
+              "extra": {"k": K, "word_bits": W,
+                        "recorded": {"commit": _sha, "round": "r5",
+                                     "date": time.strftime("%Y-%m-%d")}}}
 
     if MOCK:
         from tinyram_tpu.plonk import MockProver
