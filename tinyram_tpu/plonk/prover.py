@@ -368,68 +368,133 @@ def _aux_fold_fns(cs, dom, scale: int):
         batches = rl.batches()
 
         def make(rl=rl, pos=pos, batches=batches):
-            def fn(qstack, astack, tables, beta, w):
-                qext = _lift_chunked(dom, qstack)
+            # Round 5 (the r5 k=14 chip attempt 1 hit a runtime HBM
+            # ResourceExhausted in the old monolithic range-fold program):
+            # the fold is now SEVERAL small jitted programs — one "core"
+            # over the aux columns, one per helper batch over only that
+            # batch's queried columns, and one "tail" for the table/
+            # multiplicity rule.  Each program's extended working set is a
+            # handful of columns instead of all ~40, and programs release
+            # their temp arenas between dispatches.  The y-weight order is
+            # IDENTICAL to the verifier's fold order:
+            #   [l0·z, l_last·z, z-diff, batch_0 … batch_{B-1}, tail]
+            nb = len(batches)
+
+            @jax.jit
+            def core(astack, tables, w):
                 aext = _lift_chunked(dom, astack)
-                l0, l_last, active = tables[:, 0], tables[:, 1], tables[:, 2]
-
-                def get_col(kind, index):
-                    return qext[:, pos[(kind, index)]]
-
-                t_ext = _eval_exprs_on([rl.table], get_col, 0, scale, {})[0]
-                m_ext, ht_ext, z = aext[:, 0], aext[:, 1], aext[:, 2]
-                h_exts = [aext[:, 3 + b] for b in range(len(batches))]
+                l0, l_last, active = (
+                    tables[:, 0], tables[:, 1], tables[:, 2]
+                )
+                ht_ext, z = aext[:, 1], aext[:, 2]
+                h_exts = [aext[:, 3 + b] for b in range(nb)]
                 z_next = jnp.roll(z, -scale, axis=-1)
-                one = FP.ones((n_ext,))
-                constraints = [FP.mul(l0, z), FP.mul(l_last, z)]
                 sum_h = h_exts[0]
                 for hh in h_exts[1:]:
                     sum_h = FP.add(sum_h, hh)
-                constraints.append(
-                    FP.mul(
-                        active,
-                        FP.sub(FP.sub(z_next, z), FP.sub(sum_h, ht_ext)),
-                    )
-                )
-                j0 = 0
-                for b, batch in enumerate(batches):
-                    # per-batch evaluation keeps only this batch's few
-                    # extended columns live (same OOM fix as the lookup
-                    # fold's chunked compression above)
-                    batch_ext = _eval_exprs_on(
-                        rl.inputs[j0 : j0 + len(batch)], get_col, 0,
-                        scale, {},
-                    )
-                    ds = [
-                        FP.add(batch_ext[j], beta) for j in range(len(batch))
-                    ]
-                    j0 += len(batch)
-                    prod_all = ds[0]
-                    for dd in ds[1:]:
-                        prod_all = FP.mul(prod_all, dd)
-                    excl = None
-                    for j in range(len(ds)):
-                        term = None
-                        for l in range(len(ds)):
-                            if l == j:
-                                continue
-                            term = ds[l] if term is None else FP.mul(term, ds[l])
-                        if term is None:  # batch of one: empty product = 1
-                            term = one
-                        excl = term if excl is None else FP.add(excl, term)
-                    constraints.append(
-                        FP.sub(FP.mul(h_exts[b], prod_all), excl)
-                    )
-                constraints.append(
-                    FP.sub(FP.mul(ht_ext, FP.add(t_ext, beta)), m_ext)
-                )
                 c_stack = jnp.stack(
-                    [jnp.broadcast_to(c, (16, n_ext)) for c in constraints],
+                    [
+                        jnp.broadcast_to(c, (16, n_ext))
+                        for c in (
+                            FP.mul(l0, z),
+                            FP.mul(l_last, z),
+                            FP.mul(
+                                active,
+                                FP.sub(
+                                    FP.sub(z_next, z),
+                                    FP.sub(sum_h, ht_ext),
+                                ),
+                            ),
+                        )
+                    ],
                     axis=1,
                 )
                 return tree_sum(FP, FP.mul(c_stack, w), axis=1)
 
-            return jax.jit(fn)
+            batch_progs = []
+            j0 = 0
+            for batch in batches:
+                exprs = rl.inputs[j0 : j0 + len(batch)]
+                j0 += len(batch)
+                bvars = sorted(
+                    {(v.kind, v.index) for v in queried_vars(exprs)}
+                )
+                bpos = {v: i for i, v in enumerate(bvars)}
+                bidx = [pos[v] for v in bvars]
+
+                def bprog(exprs=exprs, bpos=bpos):
+                    @jax.jit
+                    def bfn(qsub, h_coeff, beta, w1):
+                        qext = _lift_chunked(dom, qsub)
+                        h_ext = dom.coeff_to_extended(h_coeff)
+
+                        def get_col(kind, index):
+                            return qext[:, bpos[(kind, index)]]
+
+                        vals = _eval_exprs_on(exprs, get_col, 0, scale, {})
+                        ds = [FP.add(v, beta) for v in vals]
+                        prod_all = ds[0]
+                        for dd in ds[1:]:
+                            prod_all = FP.mul(prod_all, dd)
+                        excl = None
+                        one = FP.ones((n_ext,))
+                        for j in range(len(ds)):
+                            term = None
+                            for l in range(len(ds)):
+                                if l == j:
+                                    continue
+                                term = (
+                                    ds[l] if term is None
+                                    else FP.mul(term, ds[l])
+                                )
+                            if term is None:  # batch of one
+                                term = one
+                            excl = term if excl is None else FP.add(excl, term)
+                        c = FP.sub(FP.mul(h_ext, prod_all), excl)
+                        return FP.mul(c, w1[:, 0])
+
+                    return bfn
+
+                batch_progs.append((bprog(), bidx))
+
+            tvars = sorted(
+                {(v.kind, v.index) for v in queried_vars([rl.table])}
+            )
+            t_pos = {v: i for i, v in enumerate(tvars)}
+            t_idx = [pos[v] for v in tvars]
+
+            @jax.jit
+            def tail(qsub, a01, beta, w1):
+                qext = _lift_chunked(dom, qsub)
+                a01e = _lift_chunked(dom, a01)
+                m_ext, ht_ext = a01e[:, 0], a01e[:, 1]
+
+                def get_col(kind, index):
+                    return qext[:, t_pos[(kind, index)]]
+
+                t_ext = _eval_exprs_on([rl.table], get_col, 0, scale, {})[0]
+                c = FP.sub(FP.mul(ht_ext, FP.add(t_ext, beta)), m_ext)
+                return FP.mul(c, w1[:, 0])
+
+            def fn(qstack, astack, tables, beta, w):
+                acc = core(astack, tables, w[:, 0:3])
+                for b, (bfn, bidx) in enumerate(batch_progs):
+                    acc = FP.add(
+                        acc,
+                        bfn(
+                            qstack[:, bidx], astack[:, 3 + b], beta,
+                            w[:, 3 + b : 4 + b],
+                        ),
+                    )
+                return FP.add(
+                    acc,
+                    tail(
+                        qstack[:, t_idx], astack[:, 0:2], beta,
+                        w[:, 3 + nb : 4 + nb],
+                    ),
+                )
+
+            return fn
 
         out["range"].append((make(), vars_))
     per_cs[key] = out
