@@ -128,10 +128,15 @@ def test_msm_matches_host(n):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("c", [8, 11])
-def test_pippenger_signed_matches_host(c):
+@pytest.mark.parametrize(
+    "c,affine", [(8, False), (11, False), (8, True)],
+    ids=["c8", "c11", "c8-affine"],
+)
+def test_pippenger_signed_matches_host(c, affine):
     """Exercise the signed-digit Pippenger path directly (the public msm()
-    routes small N to the bit-serial path; real sizes hit this pipeline)."""
+    routes small N to the bit-serial path; real sizes hit this pipeline).
+    The affine variant covers the opt-in batched-affine bucket scan
+    (TINYRAM_MSM_AFFINE=1; shared product-tree inversion per scan step)."""
     import jax.numpy as jnp
 
     from tinyram_tpu.curve.msm import _msm_call, _msm_many_call
@@ -146,7 +151,8 @@ def test_pippenger_signed_matches_host(c):
     sc = FP.encode(scalars, to_mont=False)
     got = to_affine_host(
         PointBatch(
-            *[x[:, None] for x in _msm_call(sc, from_affine_host(pts), c)]
+            *[x[:, None]
+              for x in _msm_call(sc, from_affine_host(pts), c, affine)]
         )
     )[0]
     assert got == host.msm(scalars, pts)
@@ -155,5 +161,7 @@ def test_pippenger_signed_matches_host(c):
     scalars2 = [rng.randrange(FP.modulus) for _ in range(n)]
     sc2 = FP.encode(scalars2, to_mont=False)
     both = jnp.stack([sc, sc2], axis=1)
-    got2 = to_affine_host(_msm_many_call(both, from_affine_host(pts), c))
+    got2 = to_affine_host(
+        _msm_many_call(both, from_affine_host(pts), c, affine)
+    )
     assert got2 == [host.msm(scalars, pts), host.msm(scalars2, pts)]

@@ -90,11 +90,20 @@ def _group_elems() -> int:
     return 1 << int(os.environ.get("TINYRAM_MSM_GROUP_LOG2", "22"))
 
 
-# Total lanes per scan step.  Each step is one fused point-add kernel at
-# this width; wider = fewer, larger kernel launches (the scan's step count
-# is n_pad / (lanes per window)).  32K lanes ≈ 6 MB live per step.
+# Total lanes per scan step.  Wider = fewer serial scan steps, which also
+# amortizes the affine scan's fixed per-step cost (tree levels + shared
+# Fermat) — so the affine path defaults 4x wider (2^17 ≈ 8 MB/live array).
 def _target_lanes() -> int:
-    return 1 << int(os.environ.get("TINYRAM_MSM_LANES_LOG2", "15"))
+    default = "17" if _affine_scan() else "15"
+    return 1 << int(os.environ.get("TINYRAM_MSM_LANES_LOG2", default))
+
+
+def _affine_scan() -> bool:
+    """Opt-in batched-affine bucket scan (chip-measured slower than the
+    fused-Pallas projective scan — see the note in
+    _group_bucket_sums_inner); read per call and passed to the jitted
+    pipeline as a static arg so toggling it retraces correctly."""
+    return os.environ.get("TINYRAM_MSM_AFFINE", "0") != "0"
 
 
 def choose_window_bits(n: int) -> int:
@@ -103,6 +112,12 @@ def choose_window_bits(n: int) -> int:
     sweep (logs/tune_msm_r4*.log: 2^16 optimum c=15 @491K pts/s, 2^20
     optimum c=16 @653K — the old α=2.2 under-windowed 2^16 by two bits,
     the r3 @2^16 regression)."""
+    override = os.environ.get("TINYRAM_MSM_WINDOW")
+    if override:
+        # memory lever: W_total x 2^(c-1) bucket rows dominate peak HBM in
+        # wide msm_many commits; a smaller c trades ~10-20% speed for a
+        # multiple less bucket memory (config-3 k=17 commit OOM, r5)
+        return int(override)
     best_c, best_cost = 8, None
     # bucket count capped at n/4 — past that the scatter/reduce fixed
     # costs cliff (measured: c=16 @2^16 runs at 0.62x of c=15)
@@ -191,6 +206,36 @@ def _shift_lanes(coord: jnp.ndarray, d: int, fill: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([fill[..., :d], coord[..., :-d]], axis=-1)
 
 
+def _fermat_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """a^(p-2) via a block-unrolled square-and-multiply ladder.
+
+    The ladder is inherently ~255 serial muls; at the product-tree root
+    (width 256) each mul is ~1-2 µs of VPU work, so the cost driver is
+    LOOP OVERHEAD, not arithmetic — the compact fori_loop spent ~8 ms per
+    scan step (chip: MSM @2^20 regressed 647K -> 148K pts/s,
+    logs/bench_msm_r5.log).  unroll=32 keeps the HLO small enough to
+    compile while cutting the per-iteration overhead 32x.  A fully
+    unrolled chain (382 muls inline, ~57K HLO ops inside the scan body)
+    was tried first and made compilation intractable.  inv(0) = 0."""
+    bits = np.array(
+        [int(b) for b in bin(FQ.modulus - 2)[2:]], dtype=np.int32
+    )
+    bits_d = jnp.asarray(bits)
+
+    def body(i, acc):
+        acc = FQ.mul(acc, acc)
+        with_mul = FQ.mul(acc, a)
+        take = (bits_d[i] == 1).reshape((1,) * acc.ndim)
+        return jnp.where(take, with_mul, acc)
+
+    from ..field.params import N_LIMBS as _NL
+
+    acc0 = jnp.broadcast_to(
+        jnp.asarray(FQ._r).reshape((_NL,) + (1,) * (a.ndim - 1)), a.shape
+    ).astype(jnp.uint32)
+    return jax.lax.fori_loop(0, len(bits), body, acc0, unroll=32)
+
+
 def batch_inv(d: jnp.ndarray, stop_width: int = 256) -> jnp.ndarray:
     """Batched modular inverse over the last axis via a product tree.
 
@@ -218,8 +263,7 @@ def batch_inv(d: jnp.ndarray, stop_width: int = 256) -> jnp.ndarray:
         left, right = cur[..., 0::2], cur[..., 1::2]
         levels.append((left, right, n))
         cur = FQ.mul(left, right)
-    inv = FQ.inv(cur)  # one vectorized Fermat ladder (fori_loop — compact
-    # HLO; an unrolled chain made the scan body unjittable in finite time)
+    inv = _fermat_unrolled(cur)
     for left, right, n in reversed(levels):
         inv_left = FQ.mul(inv, right)
         inv_right = FQ.mul(inv, left)
@@ -238,6 +282,7 @@ def _group_bucket_sums_inner(
     lanes_per_window: int,
     L: int,
     n_buckets: int,
+    affine: bool = False,
 ) -> PointBatch:
     """Bucket sums for G digit vectors at once -> batch (G, n_buckets + 1).
 
@@ -295,7 +340,15 @@ def _group_bucket_sums_inner(
 
     _padd, _psel, _pdbl = _ops()
 
-    if os.environ.get("TINYRAM_MSM_AFFINE", "1") != "0":
+    # Batched-affine scan: chip-verified correct but measured SLOWER than
+    # the projective scan on this hardware (2^20: 257K vs 647K pts/s,
+    # logs/bench_msm_r5c.log) — the fused Pallas mixed-add runs its 11
+    # muls in ONE VMEM-resident kernel, while the affine step's ~7 muls +
+    # shared-inversion tree emit ~30 separate XLA fusions that round-trip
+    # HBM every scan step, plus a ms-scale serial Fermat stall per step.
+    # Kept opt-in (TINYRAM_MSM_AFFINE=1) as the documented experiment; the
+    # win would need the whole affine step fused into a single kernel.
+    if affine:
         # ---- batched-affine segmented scan (round 5).  The accumulator
         # stays AFFINE (x, y, inf-flag): a λ-based affine add is 4 muls +
         # ~3 muls of shared batch_inv tree ≈ 7 muls/lane/step vs the 11-mul
@@ -572,7 +625,8 @@ _combine_windows = partial(jax.jit, static_argnums=1)(_combine_windows_inner)
 
 
 def _bucket_sums_all(
-    digits: jnp.ndarray, signs: jnp.ndarray, points: PointBatch, c: int
+    digits: jnp.ndarray, signs: jnp.ndarray, points: PointBatch, c: int,
+    affine: bool = False,
 ) -> PointBatch:
     """Bucket sums for every digit vector: (W_total, N) bucket ids + signs
     -> batch (W_total, 2^(c−1) + 2) (signed-digit range + spill slot).
@@ -591,12 +645,12 @@ def _bucket_sums_all(
     grouped_s = signs.reshape(n_groups, G, n)
     if n_groups == 1:
         out = _group_bucket_sums_inner(
-            grouped[0], grouped_s[0], points, c, lanes, L, n_buckets
+            grouped[0], grouped_s[0], points, c, lanes, L, n_buckets, affine
         )
     else:
         mapped = jax.lax.map(
             lambda ds: _group_bucket_sums_inner(
-                ds[0], ds[1], points, c, lanes, L, n_buckets
+                ds[0], ds[1], points, c, lanes, L, n_buckets, affine
             ),
             (grouped, grouped_s),
         )  # PointBatch of (n_groups, 16, G, B+1)
@@ -687,10 +741,10 @@ def _check_affine_precondition(points: PointBatch) -> None:
         )
 
 
-@partial(jax.jit, static_argnums=2)
-def _msm_call(scalars_plain, points, c):
+@partial(jax.jit, static_argnums=(2, 3))
+def _msm_call(scalars_plain, points, c, affine=False):
     digits, signs = signed_digits(scalars_plain, c)  # (W, N)
-    buckets = _bucket_sums_all(digits, signs, points, c)
+    buckets = _bucket_sums_all(digits, signs, points, c, affine)
     window_sums = _weighted_bucket_reduce_signed(buckets, c)
     return _combine_windows_inner(window_sums, c)
 
@@ -717,7 +771,7 @@ def msm(
         return _msm_small_call(scalars_plain, points)
     _check_affine_precondition(points)
     c = window_bits or choose_window_bits(n)
-    return _msm_call(scalars_plain, points, c)
+    return _msm_call(scalars_plain, points, c, _affine_scan())
 
 
 def msm_many(
@@ -743,18 +797,18 @@ def msm_many(
         return _msm_many_small_call(scalars_plain, points)
     _check_affine_precondition(points)
     c = window_bits or choose_window_bits(n)
-    return _msm_many_call(scalars_plain, points, c)
+    return _msm_many_call(scalars_plain, points, c, _affine_scan())
 
 
-@partial(jax.jit, static_argnums=2)
-def _msm_many_call(scalars_plain, points, c):
+@partial(jax.jit, static_argnums=(2, 3))
+def _msm_many_call(scalars_plain, points, c, affine=False):
     _, B, n = scalars_plain.shape
     n_windows = -(-SCALAR_BITS // c)
     # scalar_digits only indexes the limb axis, so it maps over (B, N)
     digits, signs = signed_digits(scalars_plain, c)  # (W, B, N)
     digits_flat = digits.transpose(1, 0, 2).reshape(B * n_windows, n)
     signs_flat = signs.transpose(1, 0, 2).reshape(B * n_windows, n)
-    buckets = _bucket_sums_all(digits_flat, signs_flat, points, c)
+    buckets = _bucket_sums_all(digits_flat, signs_flat, points, c, affine)
     wsums = _weighted_bucket_reduce_signed(buckets, c)  # batch (B*W,)
     per_col = PointBatch(
         wsums.x.reshape(N_LIMBS, B, n_windows).transpose(0, 2, 1),

@@ -271,7 +271,13 @@ def verify_open(
 # are ~W·B·n·192 bytes) and keeps the compiled shape count small — every
 # chunk is padded to exactly _COMMIT_CHUNK columns, so all commit calls of
 # one circuit share a single compiled program.
-_COMMIT_CHUNK = 64
+_COMMIT_CHUNK = 64  # default; override with TINYRAM_COMMIT_CHUNK
+
+
+def _commit_chunk() -> int:
+    import os as _os
+
+    return int(_os.environ.get("TINYRAM_COMMIT_CHUNK", _COMMIT_CHUNK))
 
 
 def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
@@ -289,8 +295,9 @@ def commit_many(srs: SRS, coeff_list, blinds=None) -> list[AffinePoint]:
             c = jnp.concatenate([c, FP.zeros((n - m,))], axis=-1)
         padded.append(c)
     out = []
-    for lo in range(0, len(padded), _COMMIT_CHUNK):
-        chunk = padded[lo : lo + _COMMIT_CHUNK]
+    ch = _commit_chunk()
+    for lo in range(0, len(padded), ch):
+        chunk = padded[lo : lo + ch]
         # pad the column count to a power of two (min 4): every commit
         # call in a proof then hits one of a tiny set of compiled shapes
         target = 4

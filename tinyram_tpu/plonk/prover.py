@@ -183,6 +183,21 @@ def _ext_chunk() -> int:
     return int(_os.environ.get("TINYRAM_EXT_CHUNK", "64"))
 
 
+def _l2c_chunked(dom, cols: list) -> jnp.ndarray:
+    """Batched lagrange->coeff over a column list, TINYRAM_EXT_CHUNK
+    columns per NTT call.  The single-call version requested 78.6G of HBM
+    for the ~196-column stack at k=17 (XLA materializes several
+    stack-sized four-step temps concurrently; logs/config3_prove_r5.log)."""
+    ch = _ext_chunk()
+    if len(cols) <= ch:
+        return dom.lagrange_to_coeff(jnp.stack(cols, axis=1))
+    parts = [
+        dom.lagrange_to_coeff(jnp.stack(cols[lo : lo + ch], axis=1))
+        for lo in range(0, len(cols), ch)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _lift_chunked(dom, stack: jnp.ndarray) -> jnp.ndarray:
     v = stack.shape[1]
     _EXT_CHUNK = _ext_chunk()
@@ -618,13 +633,13 @@ def create_proof(
     for j in range(len(pk.sigma_lag)):
         lag[("sigma", j)] = pk.sigma_lag[j]
         coeff[("sigma", j)] = pk.sigma_coeff[j]
-    # batched lagrange->coeff for all instance+advice columns at once
-    stack = jnp.stack(
+    # batched lagrange->coeff for all instance+advice columns, chunked to
+    # bound the NTT temp arena (78.6G single-call peak at k=17)
+    coeff_stack = _l2c_chunked(
+        dom,
         [asg.instance[i] for i in range(cs.num_instance)]
         + [asg.advice[i] for i in range(cs.num_advice)],
-        axis=1,
     )  # (16, B, n)
-    coeff_stack = dom.lagrange_to_coeff(stack)
     for i in range(cs.num_instance):
         lag[("instance", i)] = asg.instance[i]
         coeff[("instance", i)] = coeff_stack[:, i]
@@ -653,14 +668,26 @@ def create_proof(
     def col_lag(kind, index):
         return lag[(kind, index)]
 
+    def _compress_lag_chunked(exprs, chunk=16):
+        """Σ θ^i expr_i on the lagrange domain, evaluated in expression
+        chunks — the 97-expression dynamic prog lookup evaluated all at
+        once OOMed the k=17 chip run here (logs/config3_prove_r5c.log)."""
+        if len(exprs) <= chunk:
+            return _compress(_eval_exprs_on(exprs, col_lag, n, 1, {}), theta)
+        acc = None
+        for lo in range(0, len(exprs), chunk):
+            vals = _eval_exprs_on(exprs[lo : lo + chunk], col_lag, n, 1, {})
+            part = _compress(vals, theta)
+            if lo:
+                part = FP.mul(part, _scalar(pow(theta, lo, P)))
+            acc = part if acc is None else FP.add(acc, part)
+        return acc
+
     lookup_data = []
     permuted = []
     for li, lk in enumerate(cs.lookups):
-        cache: dict = {}
-        in_vals = _eval_exprs_on(lk.inputs, col_lag, n, 1, cache)
-        tb_vals = _eval_exprs_on(lk.tables, col_lag, n, 1, cache)
-        a_lag = _compress(in_vals, theta)
-        s_lag = _compress(tb_vals, theta)
+        a_lag = _compress_lag_chunked(lk.inputs)
+        s_lag = _compress_lag_chunked(lk.tables)
         lookup_data.append((a_lag, s_lag))
     if lookup_data:
         # one fused from_mont + transfer for every lookup's (A, S) pair
@@ -700,8 +727,7 @@ def create_proof(
         permuted.append(ap_lag)
         permuted.append(sp_lag)
     if permuted:
-        perm_stack = jnp.stack(permuted, axis=1)
-        perm_coeff = dom.lagrange_to_coeff(perm_stack)
+        perm_coeff = _l2c_chunked(dom, permuted)
         perm_comms = commit_many(
             srs,
             [perm_coeff[:, i] for i in range(perm_coeff.shape[1])],
@@ -904,8 +930,7 @@ def create_proof(
             cols.append(h_t)
             pids_order.append(("rz", ri))
             cols.append(z)
-        r_stack = jnp.stack(cols, axis=1)
-        r_coeff = dom.lagrange_to_coeff(r_stack)
+        r_coeff = _l2c_chunked(dom, cols)
         r_comms = commit_many(
             srs,
             [r_coeff[:, i] for i in range(r_coeff.shape[1])],
