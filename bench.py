@@ -163,9 +163,7 @@ def _run_measurements(extra, headline):
 
     _step(extra, "msm_points_per_s", 60, _msm16)
 
-    # ---- step 2: MSM @2^20 — BASELINE config-4 scale.  SRS k=20 setup is
-    # disk-cached; the first-ever generation takes ~10 min (then never
-    # again).
+    # ---- step 2 (moved last in r5): MSM @2^20 — BASELINE config-4 scale.
     def _msm20():
         log2 = int(os.environ.get("BENCH_LOG_MSM2", "20"))
         srs_cached = os.path.exists(os.path.join(
@@ -182,8 +180,6 @@ def _run_measurements(extra, headline):
         sc2 = jax.device_put(sc2_l)
         dt2 = _time(lambda s: msm(s, srs2.g).x, sc2, iters=2)
         extra[f"msm_points_per_s_2^{log2}"] = round(n2 / dt2)
-
-    _step(extra, "msm_points_per_s_2^20", 120, _msm20)
 
     # ---- step 3: batched modular multiply throughput (cheap)
     def _modmul():
@@ -231,6 +227,11 @@ def _run_measurements(extra, headline):
         extra["ntt_batched_shape"] = f"{ncols}x2^{nb.bit_length()-1}"
 
     _step(extra, "ntt_batched_elems_per_s", 60, _ntt_batched)
+
+    # ---- step 6: the 2^20 MSM goes LAST — it costs a second Pippenger
+    # compile and the headline + regression-tracked extras above must land
+    # inside the budget first (BENCH_r04's value:0 lesson).
+    _step(extra, "msm_points_per_s_2^20", 120, _msm20)
 
 
 if __name__ == "__main__":
