@@ -86,13 +86,21 @@ def _eval_expr_lagrange(expr, asg: Assignment, cache: dict):
 
 
 def eval_gates_lagrange(cs: ConstraintSystem, asg: Assignment):
-    """Evaluate every gate poly over all rows; yields (gate, poly_idx, evals)."""
+    """Evaluate every gate poly over all rows; yields (gate, poly_idx, evals).
+
+    Expression batches are capped at ~2^25 total elements: at k=21 the
+    all-at-once batch built (16, ~300, 2^21) stacks and the host OOM
+    killer took the process at 72 GB (config-4 mock, r5).  Small circuits
+    still evaluate in one fully-batched pass."""
     tagged = [
         (g, pi, poly) for g in cs.gates for pi, poly in enumerate(g.polys)
     ]
-    outs = _eval_exprs_lagrange([t[2] for t in tagged], asg)
-    for (g, pi, _), out in zip(tagged, outs):
-        yield g, pi, out
+    chunk = max(1, (1 << 25) // max(asg.n, 1))
+    for lo in range(0, len(tagged), chunk):
+        sub = tagged[lo : lo + chunk]
+        outs = _eval_exprs_lagrange([t[2] for t in sub], asg)
+        for (g, pi, _), out in zip(sub, outs):
+            yield g, pi, out
 
 
 class MockProver:
