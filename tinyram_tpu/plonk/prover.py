@@ -750,9 +750,14 @@ def create_proof(
     if cs.range_lookups:
         rl_stacks = []
         for rl in cs.range_lookups:
-            cache: dict = {}
-            in_vals = _eval_exprs_on(rl.inputs, col_lag, n, 1, cache)
-            t_val = _eval_exprs_on([rl.table], col_lag, n, 1, cache)[0]
+            # chunked eval: the all-at-once 35-input batch was the k=17
+            # attempt-4 ResourceExhausted site (logs/config3_prove_r5d.log)
+            in_vals = []
+            for lo in range(0, len(rl.inputs), 8):
+                in_vals.extend(
+                    _eval_exprs_on(rl.inputs[lo : lo + 8], col_lag, n, 1, {})
+                )
+            t_val = _eval_exprs_on([rl.table], col_lag, n, 1, {})[0]
             rl_stacks.append((jnp.stack(in_vals, axis=1), t_val))
         # one fused from_mont + transfer for every range lookup's columns
         all_cols = jnp.concatenate(
@@ -937,7 +942,7 @@ def create_proof(
             blinds=[_blind(pid) for pid in pids_order],
         )
         for i, pid in enumerate(pids_order):
-            lag[pid] = r_stack[:, i]
+            lag[pid] = cols[i]
             coeff[pid] = r_coeff[:, i]
             tw.write_point(r_comms[i])
 
